@@ -1,0 +1,77 @@
+"""
+Image codec tests, mirroring the reference's tightest numeric test
+(reference test/image_util_test.py:53-65: round-trip rtol 0.15, exact max,
+median rtol 0.05) plus EXIF round-tripping.
+"""
+
+import numpy as np
+
+from riffusion_tpu.spectrogram_params import SpectrogramParams
+from riffusion_tpu.util import image_util
+
+
+def _fake_spectrogram(channels: int, seed: int = 3) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # Exponentially distributed magnitudes like real spectrograms
+    return rng.exponential(1.0, size=(channels, 512, 568)).astype(np.float32) * 3e6
+
+
+def test_roundtrip_mono():
+    spec = _fake_spectrogram(1)
+    power = 0.25
+    image = image_util.image_from_spectrogram(spec, power=power)
+    assert image.mode == "RGB"
+    assert image.size == (568, 512)
+
+    rt = image_util.spectrogram_from_image(
+        image, power=power, stereo=False, max_value=float(np.max(spec))
+    )
+    assert rt.shape == spec.shape
+    np.testing.assert_allclose(rt, spec, rtol=0.15, atol=0.02 * np.max(spec))
+    # max preserved exactly (up to uint8 rounding of the max pixel)
+    assert np.isclose(np.max(rt), np.max(spec), rtol=0.01)
+    median_err = np.median(np.abs(rt - spec) / (spec + 1))
+    assert median_err < 0.05
+
+
+def test_roundtrip_stereo():
+    spec = _fake_spectrogram(2)
+    image = image_util.image_from_spectrogram(spec, power=0.25)
+    arr = np.array(image)
+    # stereo packing: R channel is all zero, G/B carry the two channels
+    assert np.all(arr[:, :, 0] == 0)
+
+    rt = image_util.spectrogram_from_image(
+        image, power=0.25, stereo=True, max_value=float(np.max(spec))
+    )
+    np.testing.assert_allclose(rt, spec, rtol=0.15, atol=0.02 * np.max(spec))
+
+
+def test_mono_image_channels_equal():
+    spec = _fake_spectrogram(1)
+    image = image_util.image_from_spectrogram(spec)
+    arr = np.array(image)
+    assert np.array_equal(arr[:, :, 0], arr[:, :, 1])
+    assert np.array_equal(arr[:, :, 1], arr[:, :, 2])
+
+
+def test_exif_roundtrip(tmp_path):
+    params = SpectrogramParams(stereo=True, sample_rate=22050, step_size_ms=15)
+    spec = _fake_spectrogram(2)
+    image = image_util.image_from_spectrogram(spec)
+    exif = image.getexif()
+    exif.update(params.to_exif().items())
+    path = tmp_path / "spec.png"
+    image.save(path, exif=exif)
+
+    from PIL import Image
+
+    loaded = Image.open(path)
+    recovered = SpectrogramParams.from_exif(loaded.getexif())
+    assert recovered.stereo == params.stereo
+    assert recovered.sample_rate == params.sample_rate
+    assert recovered.step_size_ms == params.step_size_ms
+    assert recovered.n_fft == params.n_fft
+
+    names = image_util.exif_from_image(loaded)
+    assert names["SAMPLE_RATE"] == 22050
