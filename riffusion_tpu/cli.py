@@ -1,0 +1,303 @@
+"""
+Command line tools (same command and flag surface as reference
+riffusion/cli.py:21-278, built on argparse instead of argh).
+
+Commands: audio-to-image, image-to-audio, sample-clips, print-exif,
+audio-to-images-batch, sample-clips-batch.
+
+Batch commands are multi-threaded on the host for I/O (mirroring the
+reference's ThreadPool) while the device work stays serialized through the
+converter's jitted programs; on TPU the clip batch axis can instead be
+sharded across a mesh via riffusion_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import random
+import typing as T
+from multiprocessing.pool import ThreadPool
+from pathlib import Path
+
+import numpy as np
+import tqdm
+from PIL import Image
+
+from riffusion_tpu.audio.segment import AudioSegment
+from riffusion_tpu.spectrogram_image_converter import SpectrogramImageConverter
+from riffusion_tpu.spectrogram_params import SpectrogramParams
+from riffusion_tpu.util import image_util
+
+
+def audio_to_image(
+    *,
+    audio: str,
+    image: str,
+    step_size_ms: int = 10,
+    num_frequencies: int = 512,
+    min_frequency: int = 0,
+    max_frequency: int = 10000,
+    window_duration_ms: int = 100,
+    padded_duration_ms: int = 400,
+    power_for_image: float = 0.25,
+    stereo: bool = False,
+    device: str = "tpu",
+) -> None:
+    """Compute a spectrogram image from a waveform."""
+    segment = AudioSegment.from_file(audio)
+
+    params = SpectrogramParams(
+        sample_rate=segment.frame_rate,
+        stereo=stereo,
+        window_duration_ms=window_duration_ms,
+        padded_duration_ms=padded_duration_ms,
+        step_size_ms=step_size_ms,
+        min_frequency=min_frequency,
+        max_frequency=max_frequency,
+        num_frequencies=num_frequencies,
+        power_for_image=power_for_image,
+    )
+
+    converter = SpectrogramImageConverter(params=params, device=device)
+    pil_image = converter.spectrogram_image_from_audio(segment)
+    pil_image.save(image, exif=pil_image.getexif(), format="PNG")
+    print(f"Wrote {image}")
+
+
+def print_exif(*, image: str) -> None:
+    """Print the params of a spectrogram image as saved in the exif data."""
+    pil_image = Image.open(image)
+    exif_data = image_util.exif_from_image(pil_image)
+    for name, value in exif_data.items():
+        print(f"{name:<20} = {value:>15}")
+
+
+def image_to_audio(*, image: str, audio: str, device: str = "tpu") -> None:
+    """Reconstruct an audio clip from a spectrogram image."""
+    pil_image = Image.open(image)
+
+    img_exif = pil_image.getexif()
+    assert img_exif is not None
+
+    try:
+        params = SpectrogramParams.from_exif(exif=img_exif)
+    except (KeyError, AttributeError):
+        print("WARNING: Could not find spectrogram parameters in exif data. Using defaults.")
+        params = SpectrogramParams()
+
+    converter = SpectrogramImageConverter(params=params, device=device)
+    segment = converter.audio_from_spectrogram_image(pil_image)
+
+    extension = Path(audio).suffix[1:]
+    segment.export(audio, format=extension)
+    print(f"Wrote {audio} ({segment.duration_seconds:.2f} seconds)")
+
+
+def sample_clips(
+    *,
+    audio: str,
+    output_dir: str,
+    num_clips: int = 1,
+    duration_ms: int = 5120,
+    mono: bool = False,
+    extension: str = "wav",
+    seed: int = -1,
+) -> None:
+    """Slice an audio file into randomly-placed clips of the given duration."""
+    if seed >= 0:
+        np.random.seed(seed)
+
+    segment = AudioSegment.from_file(audio)
+    if mono:
+        segment = segment.set_channels(1)
+
+    output_dir_path = Path(output_dir)
+    if not output_dir_path.exists():
+        output_dir_path.mkdir(parents=True)
+
+    segment_duration_ms = int(segment.duration_seconds * 1000)
+    for i in range(num_clips):
+        clip_start_ms = np.random.randint(0, segment_duration_ms - duration_ms)
+        clip = segment[clip_start_ms : clip_start_ms + duration_ms]
+
+        clip_name = f"clip_{i}_start_{clip_start_ms}_ms_duration_{duration_ms}_ms.{extension}"
+        clip_path = output_dir_path / clip_name
+        clip.export(clip_path, format=extension)
+        print(f"Wrote {clip_path}")
+
+
+def audio_to_images_batch(
+    *,
+    audio_dir: str,
+    output_dir: str,
+    image_extension: str = "jpg",
+    step_size_ms: int = 10,
+    num_frequencies: int = 512,
+    min_frequency: int = 0,
+    max_frequency: int = 10000,
+    power_for_image: float = 0.25,
+    mono: bool = False,
+    sample_rate: int = 44100,
+    device: str = "tpu",
+    num_threads: T.Optional[int] = None,
+    limit: int = -1,
+) -> None:
+    """Process a directory of audio clips into spectrogram images, multi-threaded."""
+    audio_paths = sorted(Path(audio_dir).glob("*"))
+    if limit > 0:
+        audio_paths = audio_paths[:limit]
+
+    output_path = Path(output_dir)
+    output_path.mkdir(parents=True, exist_ok=True)
+
+    params = SpectrogramParams(
+        step_size_ms=step_size_ms,
+        num_frequencies=num_frequencies,
+        min_frequency=min_frequency,
+        max_frequency=max_frequency,
+        power_for_image=power_for_image,
+        stereo=not mono,
+        sample_rate=sample_rate,
+    )
+    converter = SpectrogramImageConverter(params=params, device=device)
+
+    def process_one(audio_path: Path) -> None:
+        try:
+            segment = AudioSegment.from_file(str(audio_path))
+        except Exception:
+            return
+
+        if mono and segment.channels != 1:
+            segment = segment.set_channels(1)
+        elif not mono and segment.channels != 2:
+            segment = segment.set_channels(2)
+
+        if segment.frame_rate != params.sample_rate:
+            segment = segment.set_frame_rate(params.sample_rate)
+
+        image = converter.spectrogram_image_from_audio(segment)
+
+        image_path = output_path / f"{audio_path.stem}.{image_extension}"
+        image_format = {"jpg": "JPEG", "jpeg": "JPEG", "png": "PNG"}[image_extension]
+        image.save(image_path, exif=image.getexif(), format=image_format)
+
+    pool = ThreadPool(processes=num_threads)
+    with tqdm.tqdm(total=len(audio_paths)) as pbar:
+        for _ in pool.imap_unordered(process_one, audio_paths):
+            pbar.update()
+
+
+def sample_clips_batch(
+    *,
+    audio_dir: str,
+    output_dir: str,
+    num_clips_per_file: int = 1,
+    duration_ms: int = 5120,
+    mono: bool = False,
+    extension: str = "mp3",
+    num_threads: T.Optional[int] = None,
+    glob: str = "*",
+    limit: int = -1,
+    seed: int = -1,
+) -> None:
+    """Sample short clips from a directory of audio files, multi-threaded."""
+    audio_paths = sorted(Path(audio_dir).glob(glob))
+    audio_paths = [p for p in audio_paths if p.suffix != ".json"]
+    if limit > 0:
+        audio_paths = audio_paths[:limit]
+
+    output_path = Path(output_dir)
+    output_path.mkdir(parents=True, exist_ok=True)
+
+    if seed >= 0:
+        random.seed(seed)
+        np.random.seed(seed)
+
+    def process_one(audio_path: Path) -> None:
+        try:
+            segment = AudioSegment.from_file(str(audio_path))
+        except Exception:
+            return
+
+        if mono:
+            segment = segment.set_channels(1)
+
+        segment_duration_ms = int(segment.duration_seconds * 1000)
+        for i in range(num_clips_per_file):
+            try:
+                clip_start_ms = np.random.randint(0, segment_duration_ms - duration_ms)
+            except ValueError:
+                continue
+
+            clip = segment[clip_start_ms : clip_start_ms + duration_ms]
+            clip_name = (
+                f"{audio_path.stem}_{i}_"
+                f"start_{clip_start_ms}_ms_dur_{duration_ms}_ms.{extension}"
+            )
+            clip.export(output_path / clip_name, format=extension)
+
+    pool = ThreadPool(processes=num_threads)
+    with tqdm.tqdm(total=len(audio_paths)) as pbar:
+        for _ in pool.imap_unordered(process_one, audio_paths):
+            pbar.update()
+
+
+# ----------------------------------------------------------------- dispatch
+
+_COMMANDS = [
+    audio_to_image,
+    image_to_audio,
+    sample_clips,
+    print_exif,
+    audio_to_images_batch,
+    sample_clips_batch,
+]
+
+
+def _add_command(subparsers: argparse._SubParsersAction, fn) -> None:
+    name = fn.__name__.replace("_", "-")
+    doc = (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else ""
+    sub = subparsers.add_parser(name, help=doc, description=doc)
+    sig = inspect.signature(fn)
+    for pname, param in sig.parameters.items():
+        flag = "--" + pname.replace("_", "-")
+        default = param.default
+        required = default is inspect.Parameter.empty
+        annotation = param.annotation
+        if annotation is bool or isinstance(default, bool):
+            sub.add_argument(
+                flag,
+                action=argparse.BooleanOptionalAction,
+                default=False if required else default,
+            )
+        elif annotation is int or isinstance(default, int):
+            sub.add_argument(flag, type=int, required=required, default=default)
+        elif annotation is float or isinstance(default, float):
+            sub.add_argument(flag, type=float, required=required, default=default)
+        else:
+            sub.add_argument(
+                flag,
+                type=str,
+                required=required,
+                default=None if default is inspect.Parameter.empty else default,
+            )
+    sub.set_defaults(_fn=fn)
+
+
+def main(argv: T.Optional[T.Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="riffusion_tpu.cli", description="riffusion_tpu command line tools"
+    )
+    subparsers = parser.add_subparsers(dest="command", required=True)
+    for fn in _COMMANDS:
+        _add_command(subparsers, fn)
+
+    args = vars(parser.parse_args(argv))
+    fn = args.pop("_fn")
+    args.pop("command", None)
+    fn(**args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,467 @@
+"""
+JAX-native diffusion schedulers: DDIM, PNDM (PLMS), LMS, Euler,
+Euler-Ancestral, DPM-Solver++(2M).
+
+TPU-first design: schedulers are split into a host-side *plan* (numpy arrays
+of per-step timesteps/coefficients, computed once per step count) and a pure
+`step(plan, state, i, model_output, sample)` function with static shapes and
+a fixed-size history ring, so the whole denoise loop runs as one
+`lax.scan` under jit. This replaces diffusers' stateful Python schedulers
+(used by the reference via riffusion_pipeline.py:314-425 and
+streamlit/util.py:80-109, which exposes the same six schedulers).
+
+Algorithms follow the published papers (DDIM: Song et al.; PNDM: Liu et al.;
+LMS: Katherine Crowson's k-diffusion formulation; DPM-Solver++: Lu et al.)
+with diffusers-compatible coefficient conventions so converted checkpoints
+sample identically (within float tolerance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import typing as T
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+SCHEDULER_NAMES = ("pndm", "ddim", "lms", "euler", "euler_a", "dpmpp")
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseConfig:
+    """Training-time noise schedule (SD v1 defaults)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "scaled_linear"
+    steps_offset: int = 1
+    set_alpha_to_one: bool = False  # DDIM/PNDM final-alpha convention
+
+    @functools.cached_property
+    def alphas_cumprod(self) -> np.ndarray:
+        n = self.num_train_timesteps
+        if self.beta_schedule == "scaled_linear":
+            betas = np.linspace(self.beta_start**0.5, self.beta_end**0.5, n) ** 2
+        elif self.beta_schedule == "linear":
+            betas = np.linspace(self.beta_start, self.beta_end, n)
+        else:
+            raise ValueError(f"Unknown beta schedule {self.beta_schedule}")
+        return np.cumprod(1.0 - betas).astype(np.float64)
+
+    @property
+    def final_alpha_cumprod(self) -> float:
+        return 1.0 if self.set_alpha_to_one else float(self.alphas_cumprod[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerPlan:
+    """Precomputed per-step arrays for one (scheduler, num_steps) pair.
+
+    All fields are numpy (trace-time constants — they are tiny). `timesteps`
+    is what the UNet sees at scan index i; other arrays are indexed by i.
+    """
+
+    name: str
+    num_inference_steps: int
+    timesteps: np.ndarray  # (S,) int32 — UNet conditioning timestep per index
+    # generic per-index coefficient table, meaning depends on scheduler:
+    coeffs: T.Dict[str, np.ndarray]
+    init_noise_sigma: float = 1.0
+    history: int = 1  # required history ring size
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.timesteps)
+
+
+# ------------------------------------------------------------------- helpers
+
+
+def _interp_sigmas(noise: NoiseConfig, num_steps: int) -> T.Tuple[np.ndarray, np.ndarray]:
+    """k-diffusion sigma schedule with linear interpolation over train steps.
+    Returns (timesteps float descending, sigmas descending with final 0)."""
+    acp = noise.alphas_cumprod
+    sigmas_full = ((1 - acp) / acp) ** 0.5
+    t = np.linspace(0, noise.num_train_timesteps - 1, num_steps, dtype=np.float64)[::-1]
+    sigmas = np.interp(t, np.arange(len(sigmas_full)), sigmas_full)
+    return t, np.concatenate([sigmas, [0.0]])
+
+
+# ---------------------------------------------------------------------- DDIM
+
+
+def _make_ddim_plan(noise: NoiseConfig, num_steps: int, t_start: int = 0) -> SchedulerPlan:
+    n = noise.num_train_timesteps
+    step = n // num_steps
+    timesteps = (np.arange(0, num_steps) * step + noise.steps_offset)[::-1].astype(np.int64)
+    timesteps = timesteps[t_start:]
+    acp = noise.alphas_cumprod
+    prev_ts = timesteps - step
+    alpha_t = acp[timesteps]
+    alpha_prev = np.where(prev_ts >= 0, acp[np.maximum(prev_ts, 0)], noise.final_alpha_cumprod)
+    return SchedulerPlan(
+        name="ddim",
+        num_inference_steps=num_steps,
+        timesteps=timesteps.astype(np.int32),
+        coeffs={
+            "alpha_t": alpha_t.astype(np.float32),
+            "alpha_prev": alpha_prev.astype(np.float32),
+        },
+    )
+
+
+def _ddim_step(plan: SchedulerPlan, state, i: Array, model_output: Array, sample: Array):
+    a_t = jnp.asarray(plan.coeffs["alpha_t"])[i]
+    a_prev = jnp.asarray(plan.coeffs["alpha_prev"])[i]
+    x0 = (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
+    direction = jnp.sqrt(1.0 - a_prev) * model_output
+    prev = jnp.sqrt(a_prev) * x0 + direction
+    return prev, state
+
+
+# ---------------------------------------------------------------------- PNDM
+
+
+def _make_pndm_plan(noise: NoiseConfig, num_steps: int, t_start: int = 0) -> SchedulerPlan:
+    """PLMS (PNDM with skip_prk_steps=True, the SD/riffusion configuration).
+
+    `t_start` slices the global timestep sequence (img2img starts partway
+    down), while the counter-dependent warmup behavior stays relative to the
+    executed suffix — matching diffusers' counter semantics exactly.
+    """
+    n = noise.num_train_timesteps
+    step = n // num_steps
+    ts_asc = (np.arange(0, num_steps) * step + noise.steps_offset).astype(np.int64)
+    # plms timestep sequence duplicates the second step (counter 1 re-uses it)
+    seq = np.concatenate([ts_asc[:-1], ts_asc[-2:-1], ts_asc[-1:]])[::-1].copy()
+    seq = seq[t_start:]
+
+    acp = noise.alphas_cumprod
+    s = len(seq)
+    t_used = np.empty(s, np.int64)
+    t_prev = np.empty(s, np.int64)
+    weights = np.zeros((s, 4), np.float64)
+    push = np.zeros(s, bool)
+    avg_with_last = np.zeros(s, bool)
+    use_cur_sample = np.zeros(s, bool)
+
+    ets_len = 0
+    for i in range(s):
+        t = int(seq[i])
+        if i == 1:
+            # counter==1: average with last et, reuse stored sample, step from
+            # t+step down to t
+            t_used[i], t_prev[i] = t + step, t
+            avg_with_last[i] = True
+            use_cur_sample[i] = True
+            weights[i, 0] = 1.0  # applied to the averaged output directly
+        else:
+            t_used[i], t_prev[i] = t, t - step
+            push[i] = True
+            ets_len = min(ets_len + 1, 4)
+            if ets_len == 1:
+                weights[i, :1] = [1.0]
+            elif ets_len == 2:
+                weights[i, :2] = [3 / 2, -1 / 2]
+            elif ets_len == 3:
+                weights[i, :3] = [23 / 12, -16 / 12, 5 / 12]
+            else:
+                weights[i, :4] = [55 / 24, -59 / 24, 37 / 24, -9 / 24]
+
+    alpha_t = acp[np.clip(t_used, 0, n - 1)]
+    alpha_prev = np.where(t_prev >= 0, acp[np.clip(t_prev, 0, n - 1)], noise.final_alpha_cumprod)
+    sample_coeff = (alpha_prev / alpha_t) ** 0.5
+    denom = alpha_t * (1 - alpha_prev) ** 0.5 + (alpha_t * (1 - alpha_t) * alpha_prev) ** 0.5
+    output_coeff = (alpha_prev - alpha_t) / denom
+
+    return SchedulerPlan(
+        name="pndm",
+        num_inference_steps=num_steps,
+        timesteps=seq.astype(np.int32),
+        coeffs={
+            "weights": weights.astype(np.float32),
+            "push": push.astype(np.float32),
+            "avg_with_last": avg_with_last.astype(np.float32),
+            "use_cur_sample": use_cur_sample.astype(np.float32),
+            "sample_coeff": sample_coeff.astype(np.float32),
+            "output_coeff": output_coeff.astype(np.float32),
+        },
+        history=4,
+    )
+
+
+def _pndm_init_state(plan: SchedulerPlan, shape, dtype):
+    return {
+        "ets": jnp.zeros((4,) + tuple(shape), dtype),
+        "cur_sample": jnp.zeros(shape, dtype),
+    }
+
+
+def _pndm_step(plan: SchedulerPlan, state, i: Array, model_output: Array, sample: Array):
+    c = {k: jnp.asarray(v) for k, v in plan.coeffs.items()}
+    ets = state["ets"]
+
+    push = c["push"][i]
+    # counter==0 stores the sample for reuse at counter==1
+    cur_sample = jnp.where(jnp.equal(i, 0), sample, state["cur_sample"])
+    sample_eff = jnp.where(c["use_cur_sample"][i] > 0, cur_sample, sample)
+
+    # push current model output into the ring (newest at index 0) when needed
+    pushed = jnp.concatenate([model_output[None], ets[:-1]], axis=0)
+    ets = jnp.where(push > 0, pushed, ets)
+
+    avg = 0.5 * (model_output + ets[0])
+    weighted = jnp.tensordot(c["weights"][i], ets, axes=1)
+    e_eff = jnp.where(c["avg_with_last"][i] > 0, avg, weighted)
+
+    prev = c["sample_coeff"][i] * sample_eff - c["output_coeff"][i] * e_eff
+    return prev, {"ets": ets, "cur_sample": cur_sample}
+
+
+# ----------------------------------------------------------------- LMS / Euler
+
+
+def _make_lms_plan(
+    noise: NoiseConfig, num_steps: int, t_start: int = 0, order: int = 4
+) -> SchedulerPlan:
+    t, sigmas_full = _interp_sigmas(noise, num_steps)
+    t = t[t_start:]
+    sigmas = sigmas_full[t_start:]
+    from scipy import integrate
+
+    n_exec = len(t)
+    coeffs = np.zeros((n_exec, order), np.float64)
+    for i in range(n_exec):
+        cur_order = min(i + 1, order)
+        for j in range(cur_order):
+
+            def lms_derivative(tau, j=j, i=i, cur_order=cur_order):
+                prod = 1.0
+                for k in range(cur_order):
+                    if j == k:
+                        continue
+                    prod *= (tau - sigmas[i - k]) / (sigmas[i - j] - sigmas[i - k])
+                return prod
+
+            coeffs[i, j] = integrate.quad(
+                lms_derivative, sigmas[i], sigmas[i + 1], epsrel=1e-4
+            )[0]
+
+    return SchedulerPlan(
+        name="lms",
+        num_inference_steps=num_steps,
+        timesteps=np.round(t).astype(np.int32),
+        coeffs={
+            "sigmas": sigmas.astype(np.float32),
+            "lms": coeffs.astype(np.float32),
+            "t_float": t.astype(np.float32),
+        },
+        init_noise_sigma=float(np.max(sigmas)),
+        history=order,
+    )
+
+
+def _lms_init_state(plan, shape, dtype):
+    return {"derivs": jnp.zeros((4,) + tuple(shape), dtype)}
+
+
+def _lms_step(plan: SchedulerPlan, state, i, model_output, sample):
+    sigmas = jnp.asarray(plan.coeffs["sigmas"])
+    sigma = sigmas[i]
+    x0 = sample - sigma * model_output
+    d = (sample - x0) / sigma
+    derivs = jnp.concatenate([d[None], state["derivs"][:-1]], axis=0)
+    w = jnp.asarray(plan.coeffs["lms"])[i]  # (4,), newest first
+    prev = sample + jnp.tensordot(w, derivs, axes=1)
+    return prev, {"derivs": derivs}
+
+
+def _make_euler_plan(
+    noise: NoiseConfig, num_steps: int, ancestral: bool, t_start: int = 0
+) -> SchedulerPlan:
+    t, sigmas = _interp_sigmas(noise, num_steps)
+    t = t[t_start:]
+    sigmas = sigmas[t_start:]
+    coeffs: T.Dict[str, np.ndarray] = {
+        "sigmas": sigmas.astype(np.float32),
+        "t_float": t.astype(np.float32),
+    }
+    if ancestral:
+        s_from, s_to = sigmas[:-1], sigmas[1:]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sigma_up = np.sqrt(
+                np.maximum(s_to**2 * (s_from**2 - s_to**2) / np.maximum(s_from**2, 1e-20), 0)
+            )
+            sigma_down = np.sqrt(np.maximum(s_to**2 - sigma_up**2, 0))
+        coeffs["sigma_up"] = sigma_up.astype(np.float32)
+        coeffs["sigma_down"] = sigma_down.astype(np.float32)
+    return SchedulerPlan(
+        name="euler_a" if ancestral else "euler",
+        num_inference_steps=num_steps,
+        timesteps=np.round(t).astype(np.int32),
+        coeffs=coeffs,
+        init_noise_sigma=float(np.max(sigmas)),
+    )
+
+
+def _euler_step(plan, state, i, model_output, sample):
+    sigmas = jnp.asarray(plan.coeffs["sigmas"])
+    sigma = sigmas[i]
+    x0 = sample - sigma * model_output
+    d = (sample - x0) / sigma
+    prev = sample + d * (sigmas[i + 1] - sigma)
+    return prev, state
+
+
+def _euler_a_step(plan, state, i, model_output, sample):
+    sigmas = jnp.asarray(plan.coeffs["sigmas"])
+    sigma = sigmas[i]
+    x0 = sample - sigma * model_output
+    d = (sample - x0) / sigma
+    sigma_down = jnp.asarray(plan.coeffs["sigma_down"])[i]
+    sigma_up = jnp.asarray(plan.coeffs["sigma_up"])[i]
+    prev = sample + d * (sigma_down - sigma)
+    key = state["key"]
+    key, sub = jax.random.split(key)
+    prev = prev + jax.random.normal(sub, sample.shape, sample.dtype) * sigma_up
+    return prev, {"key": key}
+
+
+# ------------------------------------------------------------- DPM-Solver++ 2M
+
+
+def _make_dpmpp_plan(noise: NoiseConfig, num_steps: int, t_start: int = 0) -> SchedulerPlan:
+    t, sigmas = _interp_sigmas(noise, num_steps)
+    t = t[t_start:]
+    sigmas = sigmas[t_start:]
+    # alpha/sigma decomposition: x = alpha x0 + sigma_vp eps with
+    # alpha = 1/sqrt(1+sigma^2) (k-diffusion sigma), lambda = -log(sigma_vp/alpha)
+    sig = np.maximum(sigmas, 1e-10)
+    lam = -np.log(sig)
+    return SchedulerPlan(
+        name="dpmpp",
+        num_inference_steps=num_steps,
+        timesteps=np.round(t).astype(np.int32),
+        coeffs={"sigmas": sigmas.astype(np.float32), "lam": lam.astype(np.float32),
+                "t_float": t.astype(np.float32)},
+        init_noise_sigma=float(np.max(sigmas)),
+        history=2,
+    )
+
+
+def _dpmpp_init_state(plan, shape, dtype):
+    return {"x0_prev": jnp.zeros(shape, dtype), "has_prev": jnp.zeros((), jnp.float32)}
+
+
+def _dpmpp_step(plan, state, i, model_output, sample):
+    """DPM-Solver++(2M) in k-diffusion sigma space (data prediction)."""
+    sigmas = jnp.asarray(plan.coeffs["sigmas"])
+    sigma, sigma_next = sigmas[i], sigmas[i + 1]
+    x0 = sample - sigma * model_output
+
+    t_fn = lambda s: -jnp.log(jnp.maximum(s, 1e-10))
+    t_cur, t_next = t_fn(sigma), t_fn(sigma_next)
+    h = t_next - t_cur
+
+    # second-order correction using the previous x0 prediction
+    sigma_prev = sigmas[jnp.maximum(i - 1, 0)]
+    h_last = t_cur - t_fn(sigma_prev)
+    r = h_last / jnp.where(h == 0, 1.0, h)
+    x0_d = jnp.where(
+        state["has_prev"] > 0,
+        (1 + 1 / (2 * jnp.maximum(r, 1e-5))) * x0 - (1 / (2 * jnp.maximum(r, 1e-5))) * state["x0_prev"],
+        x0,
+    )
+    # DPM-Solver++(2M) data-prediction update in sigma space:
+    # x_next = (sigma_next/sigma) x - expm1(-h) x0_d
+    ratio = sigma_next / jnp.maximum(sigma, 1e-10)
+    prev = ratio * sample - jnp.expm1(-h) * x0_d
+    return prev, {"x0_prev": x0, "has_prev": jnp.ones((), jnp.float32)}
+
+
+# ----------------------------------------------------------------- interface
+
+
+_MAKERS: T.Dict[str, T.Callable[..., SchedulerPlan]] = {
+    "ddim": _make_ddim_plan,
+    "pndm": _make_pndm_plan,
+    "lms": _make_lms_plan,
+    "euler": lambda n, s, t_start=0: _make_euler_plan(n, s, ancestral=False, t_start=t_start),
+    "euler_a": lambda n, s, t_start=0: _make_euler_plan(n, s, ancestral=True, t_start=t_start),
+    "dpmpp": _make_dpmpp_plan,
+}
+
+_STEPPERS = {
+    "ddim": _ddim_step,
+    "pndm": _pndm_step,
+    "lms": _lms_step,
+    "euler": _euler_step,
+    "euler_a": _euler_a_step,
+    "dpmpp": _dpmpp_step,
+}
+
+_SIGMA_BASED = ("lms", "euler", "euler_a", "dpmpp")
+
+
+@functools.lru_cache(maxsize=64)
+def make_plan(
+    name: str,
+    num_steps: int,
+    t_start: int = 0,
+    noise: NoiseConfig = NoiseConfig(),
+) -> SchedulerPlan:
+    """Build (cached) the execution plan for `num_steps` inference steps,
+    starting at position `t_start` of the global sequence (img2img)."""
+    if name not in _MAKERS:
+        raise ValueError(f"Unknown scheduler {name!r}; choose from {SCHEDULER_NAMES}")
+    return _MAKERS[name](noise, num_steps, t_start)
+
+
+def init_state(plan: SchedulerPlan, shape, dtype=jnp.float32, key: T.Optional[Array] = None):
+    if plan.name == "pndm":
+        return _pndm_init_state(plan, shape, dtype)
+    if plan.name == "lms":
+        return _lms_init_state(plan, shape, dtype)
+    if plan.name == "dpmpp":
+        return _dpmpp_init_state(plan, shape, dtype)
+    if plan.name == "euler_a":
+        assert key is not None, "euler_a needs a PRNG key in its state"
+        return {"key": key}
+    return {}
+
+
+def step(plan: SchedulerPlan, state, i: Array, model_output: Array, sample: Array):
+    """One scheduler update at scan index i. Returns (prev_sample, new_state)."""
+    return _STEPPERS[plan.name](plan, state, i, model_output, sample)
+
+
+def scale_model_input(plan: SchedulerPlan, sample: Array, i: Array) -> Array:
+    """Pre-UNet latent scaling (sigma-based schedulers need it; DDIM/PNDM are
+    identity, mirroring scheduler.scale_model_input in the reference loop)."""
+    if plan.name in _SIGMA_BASED:
+        sigma = jnp.asarray(plan.coeffs["sigmas"])[i]
+        return sample / jnp.sqrt(sigma**2 + 1.0)
+    return sample
+
+
+def add_noise(
+    noise_cfg: NoiseConfig, sample: Array, noise: Array, timestep: Array
+) -> Array:
+    """Forward-process noising at integer train timestep(s) (DDPM convention,
+    used by PNDM/DDIM img2img and mask re-noising)."""
+    acp = jnp.asarray(noise_cfg.alphas_cumprod.astype(np.float32))
+    a = acp[jnp.asarray(timestep, jnp.int32)]
+    while a.ndim < sample.ndim:
+        a = a[..., None]
+    return jnp.sqrt(a) * sample + jnp.sqrt(1.0 - a) * noise
+
+
+def add_noise_sigma(plan: SchedulerPlan, sample: Array, noise: Array, i: Array) -> Array:
+    """Sigma-space noising for k-diffusion style schedulers (img2img start)."""
+    sigma = jnp.asarray(plan.coeffs["sigmas"])[i]
+    return sample + noise * sigma

@@ -1,0 +1,209 @@
+"""
+Shared Flax building blocks for the diffusion stack (resnet blocks, attention,
+transformer blocks, up/downsampling, timestep embeddings).
+
+Architecture matches Stable Diffusion v1 (what the riffusion-v1 checkpoint
+is a fine-tune of; the reference loads it through diffusers at
+riffusion_pipeline.py:92-102). Implementation is TPU-first: NHWC convs,
+einsum attention with fp32 softmax, GroupNorm in fp32, compute dtype
+configurable (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+import typing as T
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def timestep_embedding(
+    timesteps: Array,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+) -> Array:
+    """Sinusoidal timestep embedding, (B,) -> (B, dim). Matches the SD v1
+    convention (flip_sin_to_cos=True, freq_shift=0)."""
+    half = dim // 2
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP lifting the sinusoidal embedding to the temb dimension."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: Array) -> Array:
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb.astype(self.dtype))
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> silu -> conv -> (+temb) -> GN -> silu -> conv, with skip."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: Array, temb: T.Optional[Array] = None) -> Array:
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm1")(x)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv1")(h)
+        if temb is not None:
+            temb_proj = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb).astype(self.dtype)
+            )
+            h = h + temb_proj[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm2")(h)
+        h = nn.silu(h).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return (residual + h).astype(self.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (self when context is None). fp32 softmax."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: T.Optional[Array] = None) -> Array:
+        ctx = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        q = q.reshape(b, lq, self.num_heads, self.head_dim)
+        k = k.reshape(b, lk, self.num_heads, self.head_dim)
+        v = v.reshape(b, lk, self.num_heads, self.head_dim)
+
+        scale = 1.0 / np.sqrt(self.head_dim)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, lq, inner)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU feed-forward: Dense(8x) split into value/gate, gelu gate, Dense."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+        value, gate = jnp.split(proj, 2, axis=-1)
+        x = value * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn -> cross-attn -> GEGLU ff, each pre-LayerNorm + residual."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        head_dim = self.dim // self.num_heads
+        attn1 = Attention(self.num_heads, head_dim, self.dim, self.dtype, name="attn1")
+        attn2 = Attention(self.num_heads, head_dim, self.dim, self.dtype, name="attn2")
+        ff = GEGLUFeedForward(self.dim, self.dtype, name="ff")
+
+        x = x + attn1(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
+        x = x + attn2(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context)
+        x = x + ff(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x))
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: GN -> 1x1 conv in -> transformer block(s) on
+    flattened tokens -> 1x1 conv out, residual."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    depth: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y.astype(self.dtype))
+        y = y.reshape(b, h * w, c)
+        for i in range(self.depth):
+            y = BasicTransformerBlock(
+                c, self.num_heads, self.dtype, name=f"blocks_{i}"
+            )(y, context)
+        y = y.reshape(b, h, w, c)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        return (y + residual).astype(self.dtype)
+
+
+class Downsample2D(nn.Module):
+    """3x3 stride-2 conv. The UNet uses symmetric padding=1; the VAE encoder
+    uses diffusers' asymmetric (0,1) manual pad — both conventions matter for
+    exact weight-conversion parity."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    symmetric: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        padding = ((1, 1), (1, 1)) if self.symmetric else ((0, 1), (0, 1))
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=padding,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest resize + 3x3 conv. `out_size` overrides the default 2x target
+    (needed when the matching skip connection has odd spatial dims)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, out_size: T.Optional[T.Tuple[int, int]] = None) -> Array:
+        b, h, w, c = x.shape
+        th, tw = out_size if out_size is not None else (h * 2, w * 2)
+        x = jax.image.resize(x, (b, th, tw, c), method="nearest")
+        return nn.Conv(
+            self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv"
+        )(x)

@@ -1,0 +1,484 @@
+"""
+RiffusionPipeline — prompt-interpolated img2img audio generation as a single
+jit-compiled XLA program.
+
+Capability parity with the reference pipeline (riffusion_pipeline.py:29-477:
+load_checkpoint / embed_text / embed_text_weighted / riffuse /
+interpolate_img2img / preprocess_image / preprocess_mask), redesigned
+TPU-first:
+
+* The whole latents path — VAE encode, seed-noise slerp (in-graph, unlike
+  the reference's CPU round trip at torch_util.py:27-31), scheduler noising,
+  the CFG denoise loop as a `lax.scan`, VAE decode — is ONE compiled program.
+* `riffuse_audio` extends that program through the image codec, inverse-mel
+  and Griffin-Lim so latents -> waveform never leaves the device (the
+  reference bounced through PIL between UNet and Griffin-Lim; see SURVEY §3.1).
+* Scheduler warmup state (PLMS ets ring) lives in the scan carry; per-step
+  coefficients are precomputed host-side plans (diffusion/schedulers.py).
+* Programs are cached per (scheduler, steps, t_start, shape, masked, fused)
+  — the jit cache replaces the reference's traced-UNet artifact.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as T
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from riffusion_tpu.audio.segment import AudioSegment
+from riffusion_tpu.datatypes import InferenceInput
+from riffusion_tpu.diffusion import schedulers as sched
+from riffusion_tpu.external import prompt_weighting
+from riffusion_tpu.models.weights import ModelBundle, load_bundle
+from riffusion_tpu.ops import codec
+from riffusion_tpu.spectrogram_converter import SpectrogramConverter
+from riffusion_tpu.spectrogram_params import SpectrogramParams
+from riffusion_tpu.util import audio_util, jax_util
+
+Array = jax.Array
+
+
+class RiffusionPipeline:
+    """Diffusion pipeline for audio spectrogram generation on TPU."""
+
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        device: str = "tpu",
+        noise_config: sched.NoiseConfig = sched.NoiseConfig(),
+    ):
+        self.bundle = bundle
+        self.device = jax_util.check_device(device)
+        self._jax_device = jax_util.jax_device(self.device)
+        self.noise_config = noise_config
+
+        self.unet, self.vae, self.text_encoder = bundle.modules()
+        self.tokenizer = bundle.tokenizer
+        put = functools.partial(jax.device_put, device=self._jax_device)
+        self.unet_params = jax.tree.map(put, bundle.unet_params)
+        self.vae_params = jax.tree.map(put, bundle.vae_params)
+        self.clip_params = jax.tree.map(put, bundle.clip_params)
+
+        self._encode_ids = jax.jit(
+            lambda params, ids: self.text_encoder.apply({"params": params}, ids),
+            device=self._jax_device,
+        )
+        self._converters: T.Dict[SpectrogramParams, SpectrogramConverter] = {}
+
+    # ------------------------------------------------------------ constructors
+
+    @classmethod
+    def load_checkpoint(
+        cls,
+        checkpoint: str,
+        use_traced_unet: bool = True,  # accepted for API parity; jit is the trace
+        channels_last: bool = False,  # accepted for API parity; NHWC is native
+        dtype: T.Any = jnp.bfloat16,
+        device: str = "tpu",
+        local_files_only: bool = True,
+        cache_dir: T.Optional[str] = None,
+        scheduler: T.Optional[str] = None,
+    ) -> "RiffusionPipeline":
+        """Load from a checkpoint spec (see models/weights.py:load_bundle).
+
+        Mirrors the reference classmethod (riffusion_pipeline.py:63-125); the
+        traced-unet / channels_last knobs are no-ops because XLA compilation
+        and NHWC layout are always on.
+        """
+        del use_traced_unet, channels_last, local_files_only, cache_dir
+        resolved_device = jax_util.check_device(device)
+        if resolved_device == "cpu" and dtype == jnp.bfloat16:
+            dtype = jnp.float32  # bf16 matmuls are emulated and slow on CPU
+        bundle = load_bundle(checkpoint, dtype=dtype)
+        if scheduler is not None:
+            bundle.scheduler_name = scheduler
+        return cls(bundle, device=resolved_device)
+
+    # ---------------------------------------------------------- text encoding
+
+    def _encode_77(self, ids: np.ndarray) -> Array:
+        return self._encode_ids(self.clip_params, jnp.asarray(ids, jnp.int32))
+
+    @functools.lru_cache(maxsize=256)
+    def embed_text(self, text: str) -> Array:
+        """Plain CLIP embedding of `text`, (1, 77, hidden)."""
+        ids = np.asarray(
+            self.tokenizer(
+                text,
+                padding="max_length",
+                max_length=self.tokenizer.model_max_length,
+                truncation=True,
+            )["input_ids"],
+            dtype=np.int32,
+        )
+        return self._encode_77(ids)
+
+    @functools.lru_cache(maxsize=256)
+    def embed_text_weighted(self, text: str) -> Array:
+        """Attention-weighted embedding (`(word:1.5)` syntax), (1, L, hidden)."""
+        emb, _ = prompt_weighting.get_weighted_text_embeddings(
+            self._encode_77,
+            self.tokenizer,
+            text,
+            uncond_prompt=None,
+            max_embeddings_multiples=3,
+        )
+        return emb
+
+    def _uncond_embedding(self, negative_prompt: T.Optional[str], seq_len: int) -> Array:
+        """Unconditional/negative embedding matched to the cond seq length."""
+        text = negative_prompt or ""
+        if seq_len == self.tokenizer.model_max_length:
+            return self.embed_text(text)
+        emb, _ = prompt_weighting.get_weighted_text_embeddings(
+            self._encode_77,
+            self.tokenizer,
+            text,
+            max_embeddings_multiples=(seq_len - 2) // (self.tokenizer.model_max_length - 2),
+        )
+        if emb.shape[1] < seq_len:
+            pad = jnp.tile(emb[:, -1:, :], (1, seq_len - emb.shape[1], 1))
+            emb = jnp.concatenate([emb, pad], axis=1)
+        return emb[:, :seq_len]
+
+    # --------------------------------------------------------------- programs
+
+    def _scan_denoise(self, plan: sched.SchedulerPlan, unet_params, latents, text_emb,
+                      guidance, mask, init_latents_orig, noise, key):
+        """CFG denoise loop over the plan as lax.scan. text_emb: (2, L, D)."""
+        if plan.num_steps == 0:
+            # degenerate strength/step combination: nothing to denoise
+            return latents
+        timesteps = jnp.asarray(plan.timesteps)
+        state = sched.init_state(plan, latents.shape, latents.dtype, key=key)
+
+        def body(carry, i):
+            lat, st = carry
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            lat_in = sched.scale_model_input(plan, lat_in, i)
+            t = jnp.broadcast_to(timesteps[i], (2,))
+            eps = self.unet.apply({"params": unet_params}, lat_in, t, text_emb)
+            eps_u, eps_t = jnp.split(eps, 2, axis=0)
+            eps = eps_u + guidance * (eps_t - eps_u)
+            lat, st = sched.step(plan, st, i, eps.astype(lat.dtype), lat)
+            if mask is not None:
+                init_proper = sched.add_noise(
+                    self.noise_config, init_latents_orig, noise, timesteps[i]
+                )
+                lat = init_proper * mask + lat * (1.0 - mask)
+            return (lat, st), None
+
+        (latents, _), _ = jax.lax.scan(
+            body, (latents, state), jnp.arange(plan.num_steps)
+        )
+        return latents
+
+    @functools.lru_cache(maxsize=32)
+    def _riffuse_program(
+        self,
+        scheduler: str,
+        num_steps: int,
+        t_start: int,
+        noise_timestep: int,
+        height: int,
+        width: int,
+        seq_len: int,
+        use_mask: bool,
+        fused_params: T.Optional[SpectrogramParams],
+        num_gl_iters: int = 32,
+    ):
+        """Build + jit the full latents->image(->waveform) program."""
+        plan = sched.make_plan(scheduler, num_steps, t_start, self.noise_config)
+        scale = self.bundle.vae_config.scaling_factor
+        converter = self.converter(fused_params) if fused_params is not None else None
+
+        def program(unet_params, vae_params, text_emb, init_image, mask, keys,
+                    alpha, guidance, dsp_consts):
+            key_img, key_a, key_b, key_sched = keys
+
+            mean, logvar = self.vae.apply(
+                {"params": vae_params}, init_image, method="encode_moments"
+            )
+            init_latents = scale * self.vae.apply(
+                {"params": vae_params}, mean, logvar, key_img, method="sample"
+            )
+            init_latents = init_latents.astype(jnp.float32)
+
+            noise_a = jax.random.normal(key_a, init_latents.shape, jnp.float32)
+            noise_b = jax.random.normal(key_b, init_latents.shape, jnp.float32)
+            noise = jax_util.slerp(alpha, noise_a, noise_b)
+
+            latents = sched.add_noise(
+                self.noise_config, init_latents, noise, jnp.asarray(noise_timestep)
+            )
+
+            latents = self._scan_denoise(
+                plan, unet_params, latents, text_emb, guidance,
+                mask if use_mask else None, init_latents, noise, key_sched,
+            )
+
+            decoded = self.vae.apply(
+                {"params": vae_params}, latents / scale, method="decode"
+            )
+            image01 = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)
+            image_u8 = jnp.round(image01[0] * 255.0).astype(jnp.uint8)  # (H, W, 3)
+
+            if converter is None:
+                return image_u8, None
+
+            codes = codec.codes_from_rgb_image(image_u8, stereo=fused_params.stereo)
+            mel_amps = codec.spectrogram_from_codes(
+                codes, fused_params.power_for_image, max_value=30e6
+            )
+            waveform = converter.waveform_from_mel_amplitudes(
+                mel_amps, key=key_sched, consts=dsp_consts
+            )
+            return image_u8, waveform
+
+        return jax.jit(program, device=self._jax_device)
+
+    def converter(self, params: SpectrogramParams) -> SpectrogramConverter:
+        if params not in self._converters:
+            self._converters[params] = SpectrogramConverter(params, device=self.device)
+        return self._converters[params]
+
+    # ------------------------------------------------------------- public API
+
+    def riffuse(
+        self,
+        inputs: InferenceInput,
+        init_image: Image.Image,
+        mask_image: T.Optional[Image.Image] = None,
+        use_reweighting: bool = True,
+    ) -> Image.Image:
+        """Interpolated img2img generation -> spectrogram PIL image."""
+        image_u8, _ = self._run(inputs, init_image, mask_image, use_reweighting, None)
+        return Image.fromarray(np.asarray(image_u8), mode="RGB")
+
+    def riffuse_audio(
+        self,
+        inputs: InferenceInput,
+        init_image: Image.Image,
+        mask_image: T.Optional[Image.Image] = None,
+        use_reweighting: bool = True,
+        params: T.Optional[SpectrogramParams] = None,
+        apply_filters: bool = True,
+    ) -> T.Tuple[Image.Image, AudioSegment]:
+        """Fused generation: spectrogram image AND reconstructed audio from
+        one device program (the BASELINE.json north-star path)."""
+        params = params or SpectrogramParams()
+        image_u8, waveform = self._run(inputs, init_image, mask_image, use_reweighting, params)
+        segment = audio_util.audio_from_waveform(
+            np.asarray(waveform), params.sample_rate, normalize=True
+        )
+        if apply_filters:
+            segment = audio_util.apply_filters(segment, compression=False)
+        return Image.fromarray(np.asarray(image_u8), mode="RGB"), segment
+
+    def _run(
+        self,
+        inputs: InferenceInput,
+        init_image: Image.Image,
+        mask_image: T.Optional[Image.Image],
+        use_reweighting: bool,
+        fused_params: T.Optional[SpectrogramParams],
+    ):
+        alpha = float(inputs.alpha)
+        start, end = inputs.start, inputs.end
+        num_steps = inputs.num_inference_steps
+        guidance = start.guidance * (1.0 - alpha) + end.guidance * alpha
+
+        if use_reweighting:
+            embed_start = self.embed_text_weighted(start.prompt)
+            embed_end = self.embed_text_weighted(end.prompt)
+        else:
+            embed_start = self.embed_text(start.prompt)
+            embed_end = self.embed_text(end.prompt)
+        if embed_start.shape[1] != embed_end.shape[1]:
+            seq = max(embed_start.shape[1], embed_end.shape[1])
+            embed_start = self._pad_seq(embed_start, seq)
+            embed_end = self._pad_seq(embed_end, seq)
+        text_embedding = embed_start + alpha * (embed_end - embed_start)
+
+        negative = start.negative_prompt if alpha < 0.5 else end.negative_prompt
+        uncond = self._uncond_embedding(negative, text_embedding.shape[1])
+        text_emb = jnp.concatenate([uncond, text_embedding], axis=0)
+
+        image_arr = preprocess_image(init_image)  # (1, H, W, 3) float32
+        height, width = image_arr.shape[1], image_arr.shape[2]
+
+        use_mask = mask_image is not None
+        if use_mask:
+            mask = preprocess_mask(mask_image, scale_factor=8, size=(width // 8, height // 8))
+        else:
+            mask = np.zeros((1, height // 8, width // 8, 4), np.float32)
+
+        strength = (1.0 - alpha) * start.denoising + alpha * end.denoising
+        offset = self.noise_config.steps_offset
+        init_timestep = min(int(num_steps * strength) + offset, num_steps)
+        t_start = max(num_steps - init_timestep + offset, 0)
+        full_plan = sched.make_plan(
+            self.bundle.scheduler_name, num_steps, 0, self.noise_config
+        )
+        noise_timestep = int(full_plan.timesteps[-init_timestep])
+
+        program = self._riffuse_program(
+            self.bundle.scheduler_name,
+            num_steps,
+            t_start,
+            noise_timestep,
+            height,
+            width,
+            int(text_emb.shape[1]),
+            use_mask,
+            fused_params,
+        )
+
+        keys = jnp.stack(
+            [
+                jax.random.PRNGKey(start.seed),  # VAE latent sample (ref uses start.seed)
+                jax.random.PRNGKey(start.seed),  # noise_a
+                jax.random.PRNGKey(end.seed),  # noise_b
+                jax.random.fold_in(jax.random.PRNGKey(start.seed), 7),  # GL phase init
+            ]
+        )
+        dsp_consts = (
+            self.converter(fused_params).device_consts if fused_params is not None else 0
+        )
+        return program(
+            self.unet_params,
+            self.vae_params,
+            text_emb,
+            jnp.asarray(image_arr),
+            jnp.asarray(mask),
+            keys,
+            jnp.float32(alpha),
+            jnp.float32(guidance),
+            dsp_consts,
+        )
+
+    @staticmethod
+    def _pad_seq(emb: Array, seq: int) -> Array:
+        if emb.shape[1] >= seq:
+            return emb[:, :seq]
+        pad = jnp.tile(emb[:, -1:, :], (1, seq - emb.shape[1], 1))
+        return jnp.concatenate([emb, pad], axis=1)
+
+    # --------------------------------------------------------- txt2img/img2img
+
+    @functools.lru_cache(maxsize=16)
+    def _txt2img_program(self, scheduler: str, num_steps: int, height: int,
+                         width: int, seq_len: int):
+        plan = sched.make_plan(scheduler, num_steps, 0, self.noise_config)
+        scale = self.bundle.vae_config.scaling_factor
+
+        def program(unet_params, vae_params, text_emb, key, guidance):
+            shape = (1, height // 8, width // 8, self.bundle.unet_config.in_channels)
+            key_lat, key_sched = jax.random.split(key)
+            latents = jax.random.normal(key_lat, shape, jnp.float32)
+            latents = latents * plan.init_noise_sigma
+            latents = self._scan_denoise(
+                plan, unet_params, latents, text_emb, guidance, None, None, None, key_sched
+            )
+            decoded = self.vae.apply(
+                {"params": vae_params}, latents / scale, method="decode"
+            )
+            image01 = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)
+            return jnp.round(image01[0] * 255.0).astype(jnp.uint8)
+
+        return jax.jit(program, device=self._jax_device)
+
+    def txt2img(
+        self,
+        prompt: str,
+        negative_prompt: T.Optional[str] = None,
+        seed: int = 42,
+        num_inference_steps: int = 30,
+        guidance: float = 7.0,
+        width: int = 512,
+        height: int = 512,
+        scheduler: T.Optional[str] = None,
+    ) -> Image.Image:
+        """Plain text-to-image generation (streamlit text_to_audio path)."""
+        cond = self.embed_text_weighted(prompt)
+        uncond = self._uncond_embedding(negative_prompt, cond.shape[1])
+        text_emb = jnp.concatenate([uncond, cond], axis=0)
+        program = self._txt2img_program(
+            scheduler or self.bundle.scheduler_name,
+            num_inference_steps, height, width, int(text_emb.shape[1]),
+        )
+        image_u8 = program(
+            self.unet_params, self.vae_params, text_emb,
+            jax.random.PRNGKey(seed), jnp.float32(guidance),
+        )
+        return Image.fromarray(np.asarray(image_u8), mode="RGB")
+
+    def img2img(
+        self,
+        prompt: str,
+        init_image: Image.Image,
+        denoising_strength: float = 0.5,
+        negative_prompt: T.Optional[str] = None,
+        seed: int = 42,
+        num_inference_steps: int = 30,
+        guidance: float = 7.0,
+        scheduler: T.Optional[str] = None,
+    ) -> Image.Image:
+        """Single-prompt img2img (streamlit audio_to_audio path) — expressed
+        as riffuse with alpha=0 and identical start/end, which reduces to
+        standard img2img (slerp(0, n, n) = n)."""
+        from riffusion_tpu.datatypes import PromptInput
+
+        prompt_input = PromptInput(
+            prompt=prompt,
+            seed=seed,
+            negative_prompt=negative_prompt,
+            denoising=denoising_strength,
+            guidance=guidance,
+        )
+        inputs = InferenceInput(
+            start=prompt_input,
+            end=prompt_input,
+            alpha=0.0,
+            num_inference_steps=num_inference_steps,
+        )
+        prev_scheduler = self.bundle.scheduler_name
+        if scheduler is not None:
+            self.bundle.scheduler_name = scheduler
+        try:
+            return self.riffuse(inputs, init_image)
+        finally:
+            self.bundle.scheduler_name = prev_scheduler
+
+
+# -------------------------------------------------------------- preprocessing
+
+
+def preprocess_image(image: Image.Image) -> np.ndarray:
+    """PIL image -> (1, H, W, 3) float32 in [-1, 1], resized to /32 stride
+    (parity with reference preprocess_image, riffusion_pipeline.py:439-452)."""
+    w, h = image.size
+    w, h = (x - x % 32 for x in (w, h))
+    image = image.convert("RGB").resize((w, h), resample=Image.LANCZOS)
+    arr = np.asarray(image).astype(np.float32) / 255.0
+    return 2.0 * arr[None] - 1.0
+
+
+def preprocess_mask(
+    mask: Image.Image, scale_factor: int = 8, size: T.Optional[T.Tuple[int, int]] = None
+) -> np.ndarray:
+    """Mask PIL image -> (1, h, w, 4) float32; white=repaint -> 0 after the
+    inversion (parity with reference preprocess_mask, :455-477)."""
+    mask = mask.convert("L")
+    if size is None:
+        w, h = mask.size
+        w, h = (x - x % 32 for x in (w, h))
+        size = (w // scale_factor, h // scale_factor)
+    mask = mask.resize(size, resample=Image.NEAREST)
+    arr = np.asarray(mask).astype(np.float32) / 255.0
+    arr = 1.0 - arr  # repaint white, keep black
+    return np.tile(arr[None, :, :, None], (1, 1, 1, 4))
