@@ -75,16 +75,66 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
     k = jax.random.PRNGKey(seed)
     k_unet, k_vae, k_clip, k_samp = jax.random.split(k, 4)
 
+    # Param *structures* via eval_shape (no device compile), then fast host
+    # numpy init — initializing ~1B params with jitted per-layer RNG would
+    # otherwise dominate load time (and remote-compile poorly).
     s = unet_cfg.sample_size
     latents = jnp.zeros((1, s, s, unet_cfg.in_channels), jnp.float32)
     context = jnp.zeros((1, clip_cfg.max_positions, unet_cfg.cross_attention_dim), jnp.float32)
-    unet_params = unet.init(k_unet, latents, jnp.zeros((1,), jnp.int32), context)["params"]
-
+    unet_shapes = jax.eval_shape(
+        lambda: unet.init(k_unet, latents, jnp.zeros((1,), jnp.int32), context)["params"]
+    )
     img = jnp.zeros((1, s * 8, s * 8, vae_cfg.in_channels), jnp.float32)
-    vae_params = vae.init(k_vae, img, k_samp)["params"]
-
+    vae_shapes = jax.eval_shape(lambda: vae.init(k_vae, img, k_samp)["params"])
     ids = jnp.zeros((1, clip_cfg.max_positions), jnp.int32)
-    clip_params = clip.init(k_clip, ids)["params"]
+    clip_shapes = jax.eval_shape(lambda: clip.init(k_clip, ids)["params"])
+
+    # Weights are synthesized ON DEVICE in a single jitted program: one RNG
+    # pool is tiled per-leaf with a rotating offset. This avoids both
+    # per-element host RNG (minutes for ~1B params on small hosts) and the
+    # host->device bulk transfer (minutes over a remote-TPU relay).
+    # Statistical purity is irrelevant here — these weights only exist to
+    # exercise real FLOPs deterministically.
+    pool_size = 1 << 20
+
+    def materialize(shapes):
+        counter = [0]
+
+        def leaf_spec(path, s_):
+            name = path[-1].key if path else ""
+            if name == "bias":
+                return ("zeros", s_, 0, 0.0)
+            if name == "scale":
+                return ("ones", s_, 0, 0.0)
+            fan_in = int(np.prod(s_.shape[:-1])) if len(s_.shape) > 1 else s_.shape[0]
+            std = 1.0 / np.sqrt(max(fan_in, 1))
+            counter[0] += 1
+            start = (counter[0] * 99991) % pool_size
+            return ("pool", s_, start, std)
+
+        specs = jax.tree_util.tree_map_with_path(
+            leaf_spec, shapes, is_leaf=lambda x: hasattr(x, "shape")
+        )
+
+        def build(key):
+            pool = jax.random.normal(key, (pool_size,), jnp.float32)
+
+            def make(spec):
+                kind, s_, start, std = spec
+                if kind == "zeros":
+                    return jnp.zeros(s_.shape, s_.dtype)
+                if kind == "ones":
+                    return jnp.ones(s_.shape, s_.dtype)
+                rolled = jnp.roll(pool, -start)
+                return (jnp.resize(rolled, s_.shape) * std).astype(s_.dtype)
+
+            return jax.tree.map(make, specs, is_leaf=lambda x: isinstance(x, tuple))
+
+        return jax.jit(build)(jax.random.PRNGKey(seed))
+
+    unet_params = materialize(unet_shapes)
+    vae_params = materialize(vae_shapes)
+    clip_params = materialize(clip_shapes)
 
     return ModelBundle(
         unet_config=unet_cfg,

@@ -455,6 +455,112 @@ class RiffusionPipeline:
             self.bundle.scheduler_name = prev_scheduler
 
 
+    # ------------------------------------------------------------- magic mix
+
+    @functools.lru_cache(maxsize=8)
+    def _magic_mix_program(self, scheduler: str, num_steps: int, t_start: int,
+                           noise_timestep: int, height: int, width: int,
+                           seq_len: int, kmin_t: int, mix_factor: float):
+        """MagicMix (Liew et al. 2022): layout from the image, semantics from
+        the prompt. While t in (kmin, kmax], the q-sampled original latent is
+        blended into the trajectory with weight (1 - mix_factor)."""
+        plan = sched.make_plan(scheduler, num_steps, t_start, self.noise_config)
+        scale = self.bundle.vae_config.scaling_factor
+        # per-step blend flags (host constants)
+        mix_steps = jnp.asarray(
+            (np.asarray(plan.timesteps) > kmin_t).astype(np.float32)
+        )
+        timesteps = jnp.asarray(plan.timesteps)
+
+        def program(unet_params, vae_params, text_emb, init_image, keys, guidance):
+            key_img, key_noise, key_sched = keys
+            mean, logvar = self.vae.apply(
+                {"params": vae_params}, init_image, method="encode_moments"
+            )
+            orig = scale * self.vae.apply(
+                {"params": vae_params}, mean, logvar, key_img, method="sample"
+            )
+            orig = orig.astype(jnp.float32)
+            noise = jax.random.normal(key_noise, orig.shape, jnp.float32)
+            latents = sched.add_noise(
+                self.noise_config, orig, noise, jnp.asarray(noise_timestep)
+            )
+
+            state = sched.init_state(plan, latents.shape, latents.dtype, key=key_sched)
+
+            def body(carry, i):
+                lat, st = carry
+                blend = mix_steps[i]
+                q_sampled = sched.add_noise(self.noise_config, orig, noise, timesteps[i])
+                lat = jnp.where(
+                    blend > 0,
+                    q_sampled * (1.0 - mix_factor) + lat * mix_factor,
+                    lat,
+                )
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = sched.scale_model_input(plan, lat_in, i)
+                t = jnp.broadcast_to(timesteps[i], (2,))
+                eps = self.unet.apply({"params": unet_params}, lat_in, t, text_emb)
+                eps_u, eps_t = jnp.split(eps, 2, axis=0)
+                eps = eps_u + guidance * (eps_t - eps_u)
+                lat, st = sched.step(plan, st, i, eps.astype(lat.dtype), lat)
+                return (lat, st), None
+
+            (latents, _), _ = jax.lax.scan(body, (latents, state), jnp.arange(plan.num_steps))
+            decoded = self.vae.apply({"params": vae_params}, latents / scale, method="decode")
+            image01 = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)
+            return jnp.round(image01[0] * 255.0).astype(jnp.uint8)
+
+        return jax.jit(program, device=self._jax_device)
+
+    def img2img_magic_mix(
+        self,
+        prompt: str,
+        init_image: Image.Image,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.0,
+        seed: int = 42,
+        kmin: float = 0.3,
+        kmax: float = 0.5,
+        mix_factor: float = 0.5,
+        scheduler: T.Optional[str] = None,
+    ) -> Image.Image:
+        """MagicMix semantic img2img (streamlit audio_to_audio "magic mix"
+        mode; reference exposes it via the diffusers community pipeline at
+        streamlit/util.py:317-350)."""
+        cond = self.embed_text_weighted(prompt)
+        uncond = self._uncond_embedding(None, cond.shape[1])
+        text_emb = jnp.concatenate([uncond, cond], axis=0)
+
+        image_arr = preprocess_image(init_image)
+        height, width = image_arr.shape[1], image_arr.shape[2]
+
+        scheduler = scheduler or self.bundle.scheduler_name
+        n_train = self.noise_config.num_train_timesteps
+        kmin_t = int(kmin * n_train)
+        kmax_t = int(kmax * n_train)
+        full_plan = sched.make_plan(scheduler, num_inference_steps, 0, self.noise_config)
+        # start at the first plan position with timestep <= kmax_t
+        ts = np.asarray(full_plan.timesteps)
+        t_start = int(np.argmax(ts <= kmax_t)) if np.any(ts <= kmax_t) else len(ts) - 1
+        noise_timestep = int(ts[t_start])
+
+        program = self._magic_mix_program(
+            scheduler, num_inference_steps, t_start, noise_timestep,
+            height, width, int(text_emb.shape[1]), kmin_t, float(mix_factor),
+        )
+        keys = jnp.stack([
+            jax.random.PRNGKey(seed),
+            jax.random.fold_in(jax.random.PRNGKey(seed), 1),
+            jax.random.fold_in(jax.random.PRNGKey(seed), 2),
+        ])
+        image_u8 = program(
+            self.unet_params, self.vae_params, text_emb,
+            jnp.asarray(image_arr), keys, jnp.float32(guidance_scale),
+        )
+        return Image.fromarray(np.asarray(image_u8), mode="RGB")
+
+
 # -------------------------------------------------------------- preprocessing
 
 

@@ -1,0 +1,234 @@
+"""
+JSON inference server (same HTTP surface as the reference's Flask app,
+reference riffusion/server.py:39-189: POST /run_inference/ with an
+InferenceInput body, 400 on malformed input or unknown seed/mask ids,
+InferenceOutput JSON response with data-URI image + audio, CORS headers,
+request logging to stdout + server.log).
+
+Built on the stdlib http.server (single-threaded like the reference's
+`threaded=False` Flask). The heavy path uses the pipeline's fused
+`riffuse_audio` program, so the spectrogram never round-trips through PIL
+between the UNet and Griffin-Lim. Audio is MP3 when an ffmpeg binary exists,
+otherwise WAV (this image has no MP3 codec; the mime type reflects it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import io
+import json
+import logging
+import time
+import typing as T
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from pathlib import Path
+
+import PIL.Image
+
+from riffusion_tpu.audio.segment import _ffmpeg_path
+from riffusion_tpu.datatypes import InferenceInput, InferenceOutput
+from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+from riffusion_tpu.spectrogram_params import SpectrogramParams
+from riffusion_tpu.util import base64_util
+from riffusion_tpu.util.dataclass_util import DecodeError, from_dict
+
+# Global pipeline (single-model server, as in the reference)
+PIPELINE: T.Optional[RiffusionPipeline] = None
+
+SEED_IMAGES_DIR = Path(Path(__file__).resolve().parent.parent, "seed_images")
+
+logger = logging.getLogger("riffusion_tpu.server")
+
+
+def compute_request(
+    inputs: InferenceInput,
+    pipeline: RiffusionPipeline,
+    seed_images_dir: T.Union[str, Path],
+) -> T.Union[str, T.Tuple[str, int]]:
+    """Run one inference request; returns JSON string or (error, status)."""
+    init_image_path = Path(seed_images_dir, f"{inputs.seed_image_id}.png")
+    if not init_image_path.is_file():
+        return f"Invalid seed image: {inputs.seed_image_id}", 400
+    init_image = PIL.Image.open(str(init_image_path)).convert("RGB")
+
+    mask_image: T.Optional[PIL.Image.Image] = None
+    if inputs.mask_image_id:
+        mask_image_path = Path(seed_images_dir, f"{inputs.mask_image_id}.png")
+        if not mask_image_path.is_file():
+            return f"Invalid mask image: {inputs.mask_image_id}", 400
+        mask_image = PIL.Image.open(str(mask_image_path)).convert("RGB")
+
+    # Mel-bin count must equal the generated image height (512 for the
+    # standard seed images; derived so smaller test models work too).
+    num_frequencies = init_image.height - init_image.height % 32
+    params = SpectrogramParams(
+        min_frequency=0, max_frequency=10000, num_frequencies=num_frequencies
+    )
+
+    # Fused device program: UNet denoise -> VAE decode -> codec -> inverse mel
+    # -> Griffin-Lim in one jit (the reference did image -> PIL -> audio in
+    # two stages, server.py:145-163).
+    image, segment = pipeline.riffuse_audio(
+        inputs,
+        init_image=init_image,
+        mask_image=mask_image,
+        params=params,
+        apply_filters=True,
+    )
+
+    audio_bytes = io.BytesIO()
+    if _ffmpeg_path() is not None:
+        segment.export(audio_bytes, format="mp3")
+        audio_mime = "audio/mpeg"
+    else:
+        segment.export(audio_bytes, format="wav")
+        audio_mime = "audio/wav"
+
+    image_bytes = io.BytesIO()
+    image.save(image_bytes, exif=image.getexif(), format="JPEG")
+    image_bytes.seek(0)
+
+    output = InferenceOutput(
+        image="data:image/jpeg;base64," + base64_util.encode(image_bytes),
+        audio=f"data:{audio_mime};base64," + base64_util.encode(audio_bytes),
+        duration_s=segment.duration_seconds,
+    )
+    return json.dumps(dataclasses.asdict(output))
+
+
+class _Handler(BaseHTTPRequestHandler):
+    """Single route: POST /run_inference/ (plus OPTIONS for CORS preflight)."""
+
+    server_version = "riffusion_tpu"
+
+    def _send(self, status: int, body: bytes, content_type: str = "application/json"):
+        self.send_response(status)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Headers", "Content-Type")
+        self.send_header("Access-Control-Allow-Methods", "POST, OPTIONS")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_OPTIONS(self):  # noqa: N802 - http.server naming
+        self._send(204, b"")
+
+    def do_POST(self):  # noqa: N802
+        if self.path.rstrip("/") != "/run_inference":
+            self._send(404, b"Not found", "text/plain")
+            return
+        start_time = time.time()
+        length = int(self.headers.get("Content-Length", 0))
+        data = self.rfile.read(length)
+
+        try:
+            json_data = json.loads(data)
+        except json.JSONDecodeError as exception:
+            self._send(400, str(exception).encode(), "text/plain")
+            return
+
+        logger.info(json_data)
+        try:
+            inputs = from_dict(InferenceInput, json_data)
+        except DecodeError as exception:
+            logger.info(json_data)
+            self._send(400, str(exception).encode(), "text/plain")
+            return
+
+        result = compute_request(
+            inputs=inputs,
+            seed_images_dir=self.server.seed_images_dir,  # type: ignore[attr-defined]
+            pipeline=PIPELINE,
+        )
+        logger.info(f"Request took {time.time() - start_time:.2f} s")
+
+        if isinstance(result, tuple):
+            body, status = result
+            self._send(status, body.encode(), "text/plain")
+        else:
+            self._send(200, result.encode())
+
+    def log_message(self, fmt, *args):  # route http.server chatter to logging
+        logger.info("%s - %s", self.address_string(), fmt % args)
+
+
+class RiffusionServer(HTTPServer):
+    """HTTPServer carrying the seed-image directory config."""
+
+    def __init__(self, addr, seed_images_dir: T.Union[str, Path] = SEED_IMAGES_DIR):
+        super().__init__(addr, _Handler)
+        self.seed_images_dir = seed_images_dir
+
+
+def run_app(
+    *,
+    checkpoint: str = "riffusion/riffusion-model-v1",
+    no_traced_unet: bool = False,
+    device: str = "tpu",
+    host: str = "127.0.0.1",
+    port: int = 3013,
+    debug: bool = False,
+    ssl_certificate: T.Optional[str] = None,
+    ssl_key: T.Optional[str] = None,
+    seed_images_dir: T.Union[str, Path] = SEED_IMAGES_DIR,
+    scheduler: T.Optional[str] = None,
+):
+    """Start the inference server (reference-compatible signature)."""
+    logging.basicConfig(level=logging.INFO)
+    logging.getLogger().addHandler(logging.FileHandler("server.log"))
+
+    global PIPELINE
+    PIPELINE = RiffusionPipeline.load_checkpoint(
+        checkpoint=checkpoint,
+        use_traced_unet=not no_traced_unet,
+        device=device,
+        scheduler=scheduler,
+    )
+
+    server = RiffusionServer((host, port), seed_images_dir=seed_images_dir)
+    if ssl_certificate:
+        import ssl
+
+        assert ssl_key is not None
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(ssl_certificate, ssl_key)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+
+    logger.info(f"Serving on http://{host}:{port} (checkpoint={checkpoint})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.server_close()
+
+
+def main(argv: T.Optional[T.Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(description="riffusion_tpu inference server")
+    parser.add_argument("--checkpoint", default="riffusion/riffusion-model-v1")
+    parser.add_argument("--no-traced-unet", action="store_true")
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=3013)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--ssl-certificate", default=None)
+    parser.add_argument("--ssl-key", default=None)
+    parser.add_argument("--seed-images-dir", default=str(SEED_IMAGES_DIR))
+    parser.add_argument("--scheduler", default=None)
+    args = parser.parse_args(argv)
+    run_app(
+        checkpoint=args.checkpoint,
+        no_traced_unet=args.no_traced_unet,
+        device=args.device,
+        host=args.host,
+        port=args.port,
+        debug=args.debug,
+        ssl_certificate=args.ssl_certificate,
+        ssl_key=args.ssl_key,
+        seed_images_dir=args.seed_images_dir,
+        scheduler=args.scheduler,
+    )
+
+
+if __name__ == "__main__":
+    main()

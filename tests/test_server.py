@@ -1,0 +1,120 @@
+"""
+HTTP server integration tests: real socket, real requests, mirroring the
+reference's API semantics (POST /run_inference/, 400 on bad input,
+InferenceOutput JSON with data-URI payloads).
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from riffusion_tpu import server as server_mod
+from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+from riffusion_tpu.server import RiffusionServer
+
+
+@pytest.fixture(scope="module")
+def running_server(tmp_path_factory):
+    seed_dir = tmp_path_factory.mktemp("seeds")
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        seed_dir / "og_beat.png"
+    )
+    Image.fromarray(np.full((64, 64), 200, np.uint8)).save(seed_dir / "test_mask.png")
+
+    server_mod.PIPELINE = RiffusionPipeline.load_checkpoint("random:tiny", device="cpu")
+    srv = RiffusionServer(("127.0.0.1", 0), seed_images_dir=seed_dir)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(url: str, payload: bytes):
+    req = urllib.request.Request(
+        url + "/run_inference/", data=payload, headers={"Content-Type": "application/json"}
+    )
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def _valid_payload(**overrides):
+    body = {
+        "start": {"prompt": "church bells", "seed": 42},
+        "end": {"prompt": "techno", "seed": 123},
+        "alpha": 0.5,
+        "num_inference_steps": 2,
+        "seed_image_id": "og_beat",
+    }
+    body.update(overrides)
+    return json.dumps(body).encode()
+
+
+def test_run_inference_happy_path(running_server):
+    resp = _post(running_server, _valid_payload())
+    assert resp.status == 200
+    out = json.loads(resp.read())
+    assert set(out) == {"image", "audio", "duration_s"}
+    assert out["image"].startswith("data:image/jpeg;base64,")
+    assert out["audio"].startswith(("data:audio/wav;base64,", "data:audio/mpeg;base64,"))
+    assert out["duration_s"] > 0
+
+    img_b64 = out["image"].split(",", 1)[1]
+    img = Image.open(io.BytesIO(base64.b64decode(img_b64)))
+    assert img.size == (64, 64)
+
+
+def test_run_inference_with_mask(running_server):
+    resp = _post(running_server, _valid_payload(mask_image_id="test_mask"))
+    assert resp.status == 200
+
+
+def test_malformed_json_400(running_server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(running_server, b"{not json")
+    assert exc_info.value.code == 400
+
+
+def test_missing_field_400(running_server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(running_server, json.dumps({"alpha": 0.5}).encode())
+    assert exc_info.value.code == 400
+    assert "missing required field" in exc_info.value.read().decode()
+
+
+def test_unknown_field_400(running_server):
+    payload = json.loads(_valid_payload())
+    payload["bogus"] = 1
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(running_server, json.dumps(payload).encode())
+    assert exc_info.value.code == 400
+
+
+def test_bad_seed_image_400(running_server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(running_server, _valid_payload(seed_image_id="nope"))
+    assert exc_info.value.code == 400
+    assert "Invalid seed image" in exc_info.value.read().decode()
+
+
+def test_wrong_route_404(running_server):
+    req = urllib.request.Request(
+        running_server + "/other/", data=b"{}", headers={"Content-Type": "application/json"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == 404
+
+
+def test_cors_preflight(running_server):
+    req = urllib.request.Request(running_server + "/run_inference/", method="OPTIONS")
+    resp = urllib.request.urlopen(req, timeout=30)
+    assert resp.headers["Access-Control-Allow-Origin"] == "*"

@@ -1,0 +1,238 @@
+"""
+Tests for the streamlit task business logic (streamlit-free pure functions),
+the audio splitter fallback, fft_util, prompt parsing, and the parallel
+subsystem (8-device virtual CPU mesh from conftest).
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from riffusion_tpu.audio.segment import AudioSegment
+
+
+# ------------------------------------------------------------- task helpers
+
+
+def test_clip_slicing_covers_audio(mono_wave):
+    from riffusion_tpu.streamlit.tasks.audio_to_audio import (
+        clip_start_times,
+        slice_audio_into_clips,
+    )
+
+    seg = AudioSegment.from_float(np.tile(mono_wave, (1, 3)) * 32767, 44100)  # ~17s
+    starts = clip_start_times(seg.duration_seconds)
+    assert starts[0] == 0
+    assert all(np.isclose(np.diff(starts), 4.8))
+    clips = slice_audio_into_clips(seg, starts)
+    # every clip is exactly 5 s (last is silence-padded)
+    for clip in clips:
+        assert abs(clip.duration_seconds - 5.0) < 0.01
+    # coverage: last clip reaches the end
+    assert starts[-1] + 5.0 >= seg.duration_seconds - 1e-6
+
+
+def test_scale_image_to_32_stride():
+    from riffusion_tpu.streamlit.tasks.audio_to_audio import scale_image_to_32_stride
+
+    img = Image.new("RGB", (568, 512))
+    out = scale_image_to_32_stride(img)
+    assert out.size == (544, 512)
+
+
+def test_shaped_alphas():
+    from riffusion_tpu.streamlit.tasks.interpolation import shaped_alphas
+
+    alphas = shaped_alphas(5, alpha_power=1.0)
+    np.testing.assert_allclose(alphas, [0, 0.25, 0.5, 0.75, 1.0])
+    shaped = shaped_alphas(5, alpha_power=2.0)
+    assert shaped[0] == 0 and shaped[-1] == 1
+    assert shaped[1] > 0.25  # power curve concentrates near the middle
+
+
+def test_sample_clips_logic(mono_wave):
+    from riffusion_tpu.streamlit.tasks.sample_clips import sample_clips
+
+    seg = AudioSegment.from_float(mono_wave * 32767, 44100)
+    clips = sample_clips(seg, num_clips=4, duration_ms=1000, seed=3)
+    assert len(clips) == 4
+    for start_ms, clip in clips:
+        assert 0 <= start_ms <= seg.duration_ms - 1000
+        assert abs(clip.duration_ms - 1000) < 2
+
+
+def test_text_to_audio_params():
+    from riffusion_tpu.streamlit.tasks.text_to_audio import params_for_ui
+
+    p20k = params_for_ui(True)
+    assert p20k.max_frequency == 20000 and p20k.stereo
+    p = params_for_ui(False)
+    assert p.max_frequency == 10000 and not p.stereo
+
+
+def test_scheduler_option_mapping():
+    from riffusion_tpu.streamlit import util as streamlit_util
+
+    for option in streamlit_util.SCHEDULER_OPTIONS:
+        name = streamlit_util.scheduler_name(option)
+        assert name in ("pndm", "ddim", "lms", "euler", "euler_a", "dpmpp")
+    with pytest.raises(ValueError):
+        streamlit_util.scheduler_name("NopeScheduler")
+
+
+# ------------------------------------------------------------ audio splitter
+
+
+def test_audio_splitter_fallback(stereo_wave):
+    from riffusion_tpu.audio_splitter import AudioSplitter
+
+    seg = AudioSegment.from_float(stereo_wave[:, : 44100 * 2] * 32767, 44100)
+    splitter = AudioSplitter(device="cpu")
+    stems = splitter.split(seg)
+    assert set(stems) == {"drums", "bass", "vocals", "other"}
+    # masks sum to 1 -> stems mix back close to the original
+    total = np.zeros_like(stems["bass"].raw_data, dtype=np.float64)
+    for stem in stems.values():
+        n = min(total.shape[0], stem.raw_data.shape[0])
+        total[:n] += stem.raw_data[:n]
+    n = min(total.shape[0], seg.raw_data.shape[0])
+    orig = seg.raw_data[:n].astype(np.float64)
+    err = np.sqrt(np.mean((total[:n] - orig) ** 2)) / (np.sqrt(np.mean(orig**2)) + 1e-9)
+    assert err < 0.15, f"stem recombination error {err}"
+
+
+def test_split_audio_file_roundtrip(tmp_path, mono_wave):
+    from riffusion_tpu.audio_splitter import split_audio
+
+    seg = AudioSegment.from_float(mono_wave[:, :44100] * 32767, 44100)
+    src = tmp_path / "in.wav"
+    seg.export(src, format="wav")
+    paths = split_audio(src, tmp_path / "stems", device="cpu")
+    assert len(paths) == 4
+    for p in paths:
+        assert AudioSegment.from_file(p).frame_rate == 44100
+
+
+# ----------------------------------------------------------------- fft util
+
+
+def test_fft_util(mono_wave, tmp_path):
+    from riffusion_tpu.util.fft_util import compute_fft, plot_ffts
+
+    seg = AudioSegment.from_float(mono_wave * 32767, 44100)
+    freqs, mag = compute_fft(seg)
+    assert freqs[0] == 0 and freqs[-1] == pytest.approx(22050)
+    assert mag.shape == freqs.shape
+    # 110 Hz partial present in the synth fixture
+    idx = np.argmin(np.abs(freqs - 110))
+    assert mag[idx] > np.median(mag) * 10
+
+    out = tmp_path / "fft.png"
+    plot_ffts({"orig": seg}, show=False, save_path=str(out))
+    assert out.exists()
+
+
+# ----------------------------------------------------------- prompt parsing
+
+
+def test_parse_prompt_attention():
+    from riffusion_tpu.external.prompt_weighting import parse_prompt_attention
+
+    assert parse_prompt_attention("plain text") == [["plain text", 1.0]]
+    assert parse_prompt_attention("(boosted)") == [["boosted", 1.1]]
+    assert parse_prompt_attention("[dimmed]") == [["dimmed", pytest.approx(1 / 1.1)]]
+    assert parse_prompt_attention("(explicit:1.5)") == [["explicit", 1.5]]
+    nested = parse_prompt_attention("((double))")
+    assert nested == [["double", pytest.approx(1.21)]]
+    mixed = parse_prompt_attention("a (b:2.0) c")
+    assert mixed == [["a ", 1.0], ["b", 2.0], [" c", 1.0]]
+    escaped = parse_prompt_attention(r"\(literal\)")
+    assert escaped == [["(literal)", 1.0]]
+    unbalanced = parse_prompt_attention("(open")
+    assert unbalanced == [["open", pytest.approx(1.1)]]
+
+
+def test_tokenizer_hash_deterministic():
+    from riffusion_tpu.models.tokenizer import HashTokenizer
+
+    tok = HashTokenizer()
+    a = tok("same words")["input_ids"]
+    b = tok("same words")["input_ids"]
+    assert a == b
+    assert len(a[0]) == 77
+    assert a[0][0] == tok.bos_token_id
+
+
+def test_clip_tokenizer_from_files(tmp_path):
+    import json
+
+    from riffusion_tpu.models.tokenizer import CLIPTokenizer
+
+    # miniature vocab exercising BPE merges
+    chars = "abcdefghijklmnopqrstuvwxyz "
+    vocab = {}
+    for c in chars.strip():
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    for tok in ["he", "ll", "hell", "o</w>", "hello</w>"]:
+        vocab[tok] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    merges = [("h", "e"), ("l", "l"), ("he", "ll"), ("o", "</w>"), ("hell", "o</w>")]
+
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(" ".join(m) for m in merges)
+    )
+    tok = CLIPTokenizer.from_pretrained(str(tmp_path))
+    ids = tok.encode("hello")
+    assert ids == [vocab["hello</w>"]]
+    batch = tok(["hello hello"])["input_ids"]
+    assert batch[0][0] == tok.bos_token_id
+    assert len(batch[0]) == 77
+
+
+# ------------------------------------------------------------- parallel mesh
+
+
+def test_mesh_factorization():
+    from riffusion_tpu.parallel.mesh import factor_mesh_shape
+
+    assert factor_mesh_shape(8, 3) == (2, 2, 2)
+    assert factor_mesh_shape(8, 2) == (4, 2)
+    assert factor_mesh_shape(1, 2) == (1, 1)
+    assert factor_mesh_shape(6, 2) == (2, 3)
+
+
+def test_dryrun_multichip_8_devices():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from riffusion_tpu.parallel.train import dryrun_train_step
+
+    loss = dryrun_train_step(8)
+    assert np.isfinite(loss)
+
+
+def test_frame_sweep_sharded():
+    import jax
+
+    from riffusion_tpu.parallel.mesh import make_mesh
+    from riffusion_tpu.parallel.sweep import FrameSweep
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    pipe = RiffusionPipeline.load_checkpoint("random:tiny", device="cpu")
+    mesh = make_mesh(axis_names=("data",))
+    sweep = FrameSweep(pipe, mesh)
+    rng = np.random.default_rng(0)
+    init = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    frames = sweep.interpolate(
+        "jazz", "metal", 1, 2, init,
+        alphas=[0.0, 0.25, 0.5, 1.0],
+        num_inference_steps=3,
+    )
+    assert frames.shape == (4, 64, 64, 3)
+    assert not np.array_equal(frames[0], frames[-1])
