@@ -55,6 +55,7 @@ class RiffusionPipeline:
         self.device = jax_util.check_device(device)
         self._jax_device = jax_util.jax_device(self.device)
         self.noise_config = noise_config
+        jax_util.enable_persistent_compilation_cache()
 
         self.unet, self.vae, self.text_encoder = bundle.modules()
         self.tokenizer = bundle.tokenizer

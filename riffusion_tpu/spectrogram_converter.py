@@ -44,6 +44,7 @@ class SpectrogramConverter:
         self.p = params
         self.device = jax_util.check_device(device)
         self._jax_device = jax_util.jax_device(self.device)
+        jax_util.enable_persistent_compilation_cache()
 
         n_freqs = params.n_fft // 2 + 1
         fb = mel_filterbank(

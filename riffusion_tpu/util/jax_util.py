@@ -15,12 +15,41 @@ denoise graph.
 
 from __future__ import annotations
 
+import os
+import typing as T
 import warnings
 
 import jax
 import jax.numpy as jnp
 
 _ACCELERATOR_ALIASES = ("cuda", "gpu", "tpu", "mps", "axon")
+
+_cache_enabled = False
+
+
+def enable_persistent_compilation_cache(path: T.Optional[str] = None) -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    This is the framework's replacement for the reference's downloadable
+    traced-UNet artifact (riffusion_pipeline.py:127-171): every compiled
+    program shape is cached on disk and reloads in seconds on later runs.
+    Opt out with RIFFUSION_TPU_NO_COMPILE_CACHE=1.
+    """
+    global _cache_enabled
+    if _cache_enabled or os.environ.get("RIFFUSION_TPU_NO_COMPILE_CACHE"):
+        return
+    cache_dir = path or os.environ.get(
+        "RIFFUSION_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "riffusion_tpu", "xla"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _cache_enabled = True
+    except Exception as e:  # cache is an optimization, never fatal
+        warnings.warn(f"could not enable persistent compilation cache: {e}")
 
 
 def default_device() -> str:
