@@ -85,6 +85,16 @@ class ResnetBlock2D(nn.Module):
         return (residual + h).astype(self.dtype)
 
 
+import os as _os
+
+# Attention inner-math implementation (overridable for benchmarking):
+#  "pref": einsum with fp32 MXU accumulation + fp32 softmax (no pre-softmax
+#          cast op, so XLA fuses the softmax chain) — fastest measured on v5e
+#  "dpa":  jax.nn.dot_product_attention (library fused attention)
+#  "cast": naive bf16 einsum with explicit fp32 cast around softmax
+ATTENTION_IMPL = _os.environ.get("RIFFUSION_TPU_ATTENTION", "pref")
+
+
 class Attention(nn.Module):
     """Multi-head attention (self when context is None). fp32 softmax."""
 
@@ -108,9 +118,20 @@ class Attention(nn.Module):
         v = v.reshape(b, lk, self.num_heads, self.head_dim)
 
         scale = 1.0 / np.sqrt(self.head_dim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, lq, inner)
+        if ATTENTION_IMPL == "dpa":
+            out = jax.nn.dot_product_attention(q, k, v, scale=scale)
+        elif ATTENTION_IMPL == "cast":
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        else:  # "pref"
+            logits = (
+                jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+                * scale
+            )
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
+        out = out.reshape(b, lq, inner)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
 
 

@@ -140,6 +140,29 @@ class DiffusionTrainer:
         return self._step(params, opt_state, latents, context, key)
 
 
+    # ----------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, path: str, params, opt_state, step: int) -> None:
+        """Persist training state with orbax (capability the reference lacks
+        entirely — it is inference-only, SURVEY §5)."""
+        import orbax.checkpoint as ocp
+
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(
+            f"{path}/state_{step}",
+            {"params": params, "opt_state": opt_state, "step": step},
+        )
+        checkpointer.wait_until_finished()
+
+    def restore_checkpoint(self, path: str, step: int, like=None):
+        """Restore (params, opt_state) saved by save_checkpoint."""
+        import orbax.checkpoint as ocp
+
+        checkpointer = ocp.StandardCheckpointer()
+        restored = checkpointer.restore(f"{path}/state_{step}", target=like)
+        return restored["params"], restored["opt_state"], restored["step"]
+
+
 def dryrun_train_step(n_devices: int, mesh_axes: T.Tuple[str, ...] = ("data", "model", "seq")):
     """Build an n-device mesh, jit the FULL sharded train step on tiny shapes,
     and run one update. Used by __graft_entry__.dryrun_multichip."""
