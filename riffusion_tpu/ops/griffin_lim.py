@@ -28,6 +28,7 @@ def griffin_lim(
     momentum: float = 0.99,
     rand_init: bool = True,
     consts=None,
+    precision=None,
 ) -> Array:
     """
     Reconstruct a waveform from magnitude spectrograms.
@@ -60,15 +61,19 @@ def griffin_lim(
 
     mom = momentum / (1.0 + momentum) if momentum > 0 else 0.0
 
-    def body(_, carry):
-        ar, ai, tr, ti = carry
-        wav = kernel.istft(mag * ar, mag * ai, consts)
-        rr, ri = kernel.stft(wav, consts)
+    # Statically unrolled: n_iters is always a compile-time constant, and the
+    # XLA:TPU backend in use has been observed to miscompile this body's
+    # carry under lax.fori_loop/lax.scan (output collapses to zero after two
+    # iterations; the unrolled form is bit-identical to the CPU reference).
+    tr = jnp.zeros(shape, dtype=jnp.float32)
+    ti = jnp.zeros(shape, dtype=jnp.float32)
+    for _ in range(n_iters):
+        wav = kernel.istft(mag * ar, mag * ai, consts, precision)
+        rr, ri = kernel.stft(wav, consts, precision)
         ur = rr - mom * tr
         ui = ri - mom * ti
         un = jnp.sqrt(ur * ur + ui * ui) + 1e-16
-        return ur / un, ui / un, rr, ri
+        ar, ai, tr, ti = ur / un, ui / un, rr, ri
 
-    zeros = jnp.zeros(shape, dtype=jnp.float32)
-    ar, ai, _, _ = jax.lax.fori_loop(0, n_iters, body, (ar, ai, zeros, zeros))
+    # final synthesis at full precision regardless of loop precision
     return kernel.istft(mag * ar, mag * ai, consts)

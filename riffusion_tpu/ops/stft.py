@@ -169,7 +169,11 @@ class STFTKernel:
         return jnp.take(region, jnp.asarray(idx), axis=-1)
 
     def _overlap_add(self, frames: Array, n_frames: int) -> Array:
-        """(B, F, win_length) -> (B, (F-1)*hop + win_length) overlap-add."""
+        """(B, F, win_length) -> (B, (F-1)*hop + win_length) overlap-add.
+
+        Fast path is a pure pad-and-sum over the win/hop phases — no
+        read-modify-write slice chains (which XLA:TPU has been observed to
+        miscompile when fused inside loops)."""
         hop, win = self.hop_length, self.win_length
         b = frames.shape[0]
         if self._fast_layout:
@@ -177,11 +181,8 @@ class STFTKernel:
             fw = frames.reshape(b, n_frames, r, hop)
             acc = jnp.zeros((b, n_frames - 1 + r, hop), frames.dtype)
             for j in range(r):
-                acc = jax.lax.dynamic_update_slice_in_dim(
-                    acc,
-                    jax.lax.dynamic_slice_in_dim(acc, j, n_frames, axis=1) + fw[:, :, j, :],
-                    j,
-                    axis=1,
+                acc = acc + jnp.pad(
+                    fw[:, :, j, :], ((0, 0), (j, r - 1 - j), (0, 0))
                 )
             return acc.reshape(b, (n_frames - 1 + r) * hop)
         out_len = (n_frames - 1) * hop + win
@@ -201,11 +202,16 @@ class STFTKernel:
     # ------------------------------------------------------------------ stft
 
     def stft(
-        self, waveform: Array, consts: T.Optional[T.Dict[str, Array]] = None
+        self,
+        waveform: Array,
+        consts: T.Optional[T.Dict[str, Array]] = None,
+        precision: T.Optional[jax.lax.Precision] = None,
     ) -> T.Tuple[Array, Array]:
         """(B, L) float32 -> (real, imag), each (B, n_bins, F)."""
         if consts is None:
             consts = self.jax_consts()
+        if precision is None:
+            precision = jax.lax.Precision.HIGHEST
         frames = self._frames_windowed(waveform.astype(jnp.float32))
         xw = frames * consts["window"]
         if self.backend == "fft":
@@ -216,26 +222,35 @@ class STFTKernel:
                 jnp.real(spec).astype(jnp.float32).transpose(0, 2, 1),
                 jnp.imag(spec).astype(jnp.float32).transpose(0, 2, 1),
             )
-        real = jnp.dot(xw, consts["cos"], precision=jax.lax.Precision.HIGHEST)
-        imag = jnp.dot(xw, consts["msin"], precision=jax.lax.Precision.HIGHEST)
+        real = jnp.dot(xw, consts["cos"], precision=precision)
+        imag = jnp.dot(xw, consts["msin"], precision=precision)
         return real.transpose(0, 2, 1), imag.transpose(0, 2, 1)
 
     def magnitude(
-        self, waveform: Array, consts: T.Optional[T.Dict[str, Array]] = None
+        self,
+        waveform: Array,
+        consts: T.Optional[T.Dict[str, Array]] = None,
+        precision: T.Optional[jax.lax.Precision] = None,
     ) -> Array:
         """(B, L) -> (B, n_bins, F) spectrogram magnitudes."""
-        real, imag = self.stft(waveform, consts)
+        real, imag = self.stft(waveform, consts, precision)
         return jnp.sqrt(real * real + imag * imag)
 
     # ----------------------------------------------------------------- istft
 
     def istft(
-        self, real: Array, imag: Array, consts: T.Optional[T.Dict[str, Array]] = None
+        self,
+        real: Array,
+        imag: Array,
+        consts: T.Optional[T.Dict[str, Array]] = None,
+        precision: T.Optional[jax.lax.Precision] = None,
     ) -> Array:
         """(B, n_bins, F) x2 -> (B, (F-1)*hop) waveform (torch.istft, center,
         length=None). Bins above n_bins are treated as exactly zero."""
         if consts is None:
             consts = self.jax_consts()
+        if precision is None:
+            precision = jax.lax.Precision.HIGHEST
         n_frames = real.shape[-1]
         if self.backend == "fft":
             full_bins = self.n_fft // 2 + 1
@@ -249,8 +264,8 @@ class STFTKernel:
             rt = real.transpose(0, 2, 1)
             it = imag.transpose(0, 2, 1)
             frames_t = jnp.dot(
-                rt, consts["icos"], precision=jax.lax.Precision.HIGHEST
-            ) + jnp.dot(it, consts["imsin"], precision=jax.lax.Precision.HIGHEST)
+                rt, consts["icos"], precision=precision
+            ) + jnp.dot(it, consts["imsin"], precision=precision)
         frames_w = frames_t * consts["window"]
         y = self._overlap_add(frames_w, n_frames)
         env = jnp.asarray(self._ola_envelope(n_frames))
