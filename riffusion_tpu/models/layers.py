@@ -118,7 +118,29 @@ class Attention(nn.Module):
         v = v.reshape(b, lk, self.num_heads, self.head_dim)
 
         scale = 1.0 / np.sqrt(self.head_dim)
-        if ATTENTION_IMPL == "dpa":
+        d_pad = 64 if self.head_dim <= 64 else 128
+        use_flash = (
+            ATTENTION_IMPL == "flash"
+            and context is None  # self-attention only (cross kv=77 needs masks)
+            and lq >= 256
+            and self.head_dim <= d_pad  # skip 1280-ch blocks (head_dim 160)
+            and jax.default_backend() != "cpu"
+        )
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+            # zero-pad head_dim to a flash-friendly size; exact (padded dims
+            # contribute nothing to logits, padded v columns are sliced away)
+            def prep(x):
+                x = x.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # (B,H,S,D)
+                if d_pad != self.head_dim:
+                    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad - self.head_dim)))
+                return x
+            out = flash_attention(
+                prep(q), prep(k), prep(v), causal=False, sm_scale=scale
+            )
+            out = out[..., : self.head_dim].transpose(0, 2, 1, 3).astype(self.dtype)
+        elif ATTENTION_IMPL == "dpa":
             out = jax.nn.dot_product_attention(q, k, v, scale=scale)
         elif ATTENTION_IMPL == "cast":
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale

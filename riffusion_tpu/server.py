@@ -174,6 +174,8 @@ def run_app(
     ssl_key: T.Optional[str] = None,
     seed_images_dir: T.Union[str, Path] = SEED_IMAGES_DIR,
     scheduler: T.Optional[str] = None,
+    warmup: bool = False,
+    warmup_steps: int = 50,
 ):
     """Start the inference server (reference-compatible signature)."""
     logging.basicConfig(level=logging.INFO)
@@ -186,6 +188,39 @@ def run_app(
         device=device,
         scheduler=scheduler,
     )
+
+    if warmup:
+        # Pre-compile the standard request shape (512x512 seed, 50 steps,
+        # default denoising) so the first real request is fast. Compiled
+        # programs persist via the on-disk compilation cache.
+        import numpy as np
+        from PIL import Image as PILImage
+
+        from riffusion_tpu.datatypes import PromptInput
+
+        logger.info("warmup: compiling the standard request program...")
+        seed_path = Path(seed_images_dir) / "og_beat.png"
+        if seed_path.exists():
+            init = PILImage.open(seed_path).convert("RGB")
+        else:
+            init = PILImage.fromarray(
+                np.full((512, 512, 3), 128, np.uint8), mode="RGB"
+            )
+        h = init.height - init.height % 32
+        params = SpectrogramParams(
+            min_frequency=0, max_frequency=10000, num_frequencies=h
+        )
+        PIPELINE.riffuse_audio(
+            InferenceInput(
+                start=PromptInput(prompt="warmup", seed=0),
+                end=PromptInput(prompt="warmup", seed=1),
+                alpha=0.5,
+                num_inference_steps=warmup_steps,
+            ),
+            init_image=init,
+            params=params,
+        )
+        logger.info("warmup complete")
 
     server = RiffusionServer((host, port), seed_images_dir=seed_images_dir)
     if ssl_certificate:
@@ -215,6 +250,9 @@ def main(argv: T.Optional[T.Sequence[str]] = None) -> None:
     parser.add_argument("--ssl-key", default=None)
     parser.add_argument("--seed-images-dir", default=str(SEED_IMAGES_DIR))
     parser.add_argument("--scheduler", default=None)
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile the standard request shape at startup")
+    parser.add_argument("--warmup-steps", type=int, default=50)
     args = parser.parse_args(argv)
     run_app(
         checkpoint=args.checkpoint,
@@ -227,6 +265,8 @@ def main(argv: T.Optional[T.Sequence[str]] = None) -> None:
         ssl_key=args.ssl_key,
         seed_images_dir=args.seed_images_dir,
         scheduler=args.scheduler,
+        warmup=args.warmup,
+        warmup_steps=args.warmup_steps,
     )
 
 
