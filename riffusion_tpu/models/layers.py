@@ -88,11 +88,15 @@ class ResnetBlock2D(nn.Module):
 import os as _os
 
 # Attention inner-math implementation (overridable for benchmarking):
-#  "pref": einsum with fp32 MXU accumulation + fp32 softmax (no pre-softmax
-#          cast op, so XLA fuses the softmax chain) — fastest measured on v5e
-#  "dpa":  jax.nn.dot_product_attention (library fused attention)
-#  "cast": naive bf16 einsum with explicit fp32 cast around softmax
-ATTENTION_IMPL = _os.environ.get("RIFFUSION_TPU_ATTENTION", "pref")
+#  "flash": Pallas TPU flash attention with 512-block tiling for large-seq
+#           self-attention (avoids materializing the fp32 S x S logits that
+#           dominate the UNet step: 38.2 -> 22.5 ms/step on v5e); non-eligible
+#           sites (cross-attention, short seq, CPU) fall back to "pref"
+#  "pref":  einsum with fp32 MXU accumulation + fp32 softmax (no pre-softmax
+#           cast op, so XLA fuses the softmax chain)
+#  "dpa":   jax.nn.dot_product_attention (library fused attention)
+#  "cast":  naive bf16 einsum with explicit fp32 cast around softmax
+ATTENTION_IMPL = _os.environ.get("RIFFUSION_TPU_ATTENTION", "flash")
 
 
 class Attention(nn.Module):
@@ -124,10 +128,14 @@ class Attention(nn.Module):
             and context is None  # self-attention only (cross kv=77 needs masks)
             and lq >= 256
             and self.head_dim <= d_pad  # skip 1280-ch blocks (head_dim 160)
+            and b <= 8  # at larger batches XLA's einsum attention wins (block_b=1)
             and jax.default_backend() != "cpu"
         )
         if use_flash:
-            from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                flash_attention,
+            )
 
             # zero-pad head_dim to a flash-friendly size; exact (padded dims
             # contribute nothing to logits, padded v columns are sliced away)
@@ -136,8 +144,17 @@ class Attention(nn.Module):
                 if d_pad != self.head_dim:
                     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad - self.head_dim)))
                 return x
+
+            bq = bk = min(512, lq)
+            block_sizes = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            )
             out = flash_attention(
-                prep(q), prep(k), prep(v), causal=False, sm_scale=scale
+                prep(q), prep(k), prep(v), causal=False, sm_scale=scale,
+                block_sizes=block_sizes,
             )
             out = out[..., : self.head_dim].transpose(0, 2, 1, 3).astype(self.dtype)
         elif ATTENTION_IMPL == "dpa":
