@@ -290,12 +290,15 @@ class RiffusionPipeline:
         one device program (the BASELINE.json north-star path)."""
         params = params or SpectrogramParams()
         image_u8, waveform = self._run(inputs, init_image, mask_image, use_reweighting, params)
+        # one batched device->host readback (separate np.asarray calls pay
+        # the transfer round trip twice on remote-device setups)
+        image_np, waveform_np = jax.device_get((image_u8, waveform))
         segment = audio_util.audio_from_waveform(
-            np.asarray(waveform), params.sample_rate, normalize=True
+            waveform_np, params.sample_rate, normalize=True
         )
         if apply_filters:
             segment = audio_util.apply_filters(segment, compression=False)
-        return Image.fromarray(np.asarray(image_u8), mode="RGB"), segment
+        return Image.fromarray(image_np, mode="RGB"), segment
 
     def _run(
         self,
