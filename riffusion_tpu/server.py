@@ -97,6 +97,49 @@ def compute_request(
     return json.dumps(dataclasses.asdict(output))
 
 
+def compute_batch_request(
+    inputs_list: T.List[InferenceInput],
+    pipeline: RiffusionPipeline,
+    seed_images_dir: T.Union[str, Path],
+) -> T.Union[str, T.Tuple[str, int]]:
+    """Run N requests as one batched device program; returns
+    {"outputs": [InferenceOutput, ...]} JSON."""
+    seed_id = inputs_list[0].seed_image_id
+    init_image_path = Path(seed_images_dir, f"{seed_id}.png")
+    if not init_image_path.is_file():
+        return f"Invalid seed image: {seed_id}", 400
+    init_image = PIL.Image.open(str(init_image_path)).convert("RGB")
+
+    num_frequencies = init_image.height - init_image.height % 32
+    params = SpectrogramParams(
+        min_frequency=0, max_frequency=10000, num_frequencies=num_frequencies
+    )
+    results = pipeline.riffuse_audio_batch(inputs_list, init_image, params=params)
+
+    outputs = []
+    for image, segment in results:
+        audio_bytes = io.BytesIO()
+        if _ffmpeg_path() is not None:
+            segment.export(audio_bytes, format="mp3")
+            audio_mime = "audio/mpeg"
+        else:
+            segment.export(audio_bytes, format="wav")
+            audio_mime = "audio/wav"
+        image_bytes = io.BytesIO()
+        image.save(image_bytes, exif=image.getexif(), format="JPEG")
+        image_bytes.seek(0)
+        outputs.append(
+            dataclasses.asdict(
+                InferenceOutput(
+                    image="data:image/jpeg;base64," + base64_util.encode(image_bytes),
+                    audio=f"data:{audio_mime};base64," + base64_util.encode(audio_bytes),
+                    duration_s=segment.duration_seconds,
+                )
+            )
+        )
+    return json.dumps({"outputs": outputs})
+
+
 class _Handler(BaseHTTPRequestHandler):
     """Single route: POST /run_inference/ (plus OPTIONS for CORS preflight)."""
 
@@ -116,7 +159,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(204, b"")
 
     def do_POST(self):  # noqa: N802
-        if self.path.rstrip("/") != "/run_inference":
+        route = self.path.rstrip("/")
+        if route not in ("/run_inference", "/run_inference_batch"):
             self._send(404, b"Not found", "text/plain")
             return
         start_time = time.time()
@@ -130,18 +174,20 @@ class _Handler(BaseHTTPRequestHandler):
             return
 
         logger.info(json_data)
-        try:
-            inputs = from_dict(InferenceInput, json_data)
-        except DecodeError as exception:
-            logger.info(json_data)
-            self._send(400, str(exception).encode(), "text/plain")
-            return
-
-        result = compute_request(
-            inputs=inputs,
-            seed_images_dir=self.server.seed_images_dir,  # type: ignore[attr-defined]
-            pipeline=PIPELINE,
-        )
+        if route == "/run_inference_batch":
+            result = self._handle_batch(json_data)
+        else:
+            try:
+                inputs = from_dict(InferenceInput, json_data)
+            except DecodeError as exception:
+                logger.info(json_data)
+                self._send(400, str(exception).encode(), "text/plain")
+                return
+            result = compute_request(
+                inputs=inputs,
+                seed_images_dir=self.server.seed_images_dir,  # type: ignore[attr-defined]
+                pipeline=PIPELINE,
+            )
         logger.info(f"Request took {time.time() - start_time:.2f} s")
 
         if isinstance(result, tuple):
@@ -149,6 +195,32 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(status, body.encode(), "text/plain")
         else:
             self._send(200, result.encode())
+
+    def _handle_batch(self, json_data) -> T.Union[str, T.Tuple[str, int]]:
+        """POST /run_inference_batch/: {"requests": [InferenceInput, ...]}.
+        All requests must share num_inference_steps and seed_image_id; they
+        run as ONE batched device program (throughput extension — no
+        reference equivalent)."""
+        if not isinstance(json_data, dict) or "requests" not in json_data:
+            return 'expected {"requests": [...]}', 400
+        try:
+            inputs_list = [from_dict(InferenceInput, r) for r in json_data["requests"]]
+        except DecodeError as exception:
+            return str(exception), 400
+        if not inputs_list:
+            return "empty batch", 400
+        if len({i.seed_image_id for i in inputs_list}) != 1:
+            return "batch requires a single seed_image_id", 400
+        if len({i.num_inference_steps for i in inputs_list}) != 1:
+            return "batch requires a single num_inference_steps", 400
+        if any(i.mask_image_id for i in inputs_list):
+            return "masks are not supported in batch mode", 400
+
+        return compute_batch_request(
+            inputs_list,
+            pipeline=PIPELINE,
+            seed_images_dir=self.server.seed_images_dir,  # type: ignore[attr-defined]
+        )
 
     def log_message(self, fmt, *args):  # route http.server chatter to logging
         logger.info("%s - %s", self.address_string(), fmt % args)

@@ -114,6 +114,36 @@ def test_wrong_route_404(running_server):
     assert exc_info.value.code == 404
 
 
+def test_batch_endpoint(running_server):
+    reqs = []
+    for i in range(2):
+        body = json.loads(_valid_payload())
+        body["start"]["seed"] = 40 + i
+        reqs.append(body)
+    req = urllib.request.Request(
+        running_server + "/run_inference_batch/",
+        data=json.dumps({"requests": reqs}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = urllib.request.urlopen(req, timeout=600)
+    out = json.loads(resp.read())
+    assert len(out["outputs"]) == 2
+    for o in out["outputs"]:
+        assert o["image"].startswith("data:image/jpeg;base64,")
+        assert o["duration_s"] > 0
+
+
+def test_batch_endpoint_validation(running_server):
+    req = urllib.request.Request(
+        running_server + "/run_inference_batch/",
+        data=json.dumps({"nope": []}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req, timeout=30)
+    assert exc_info.value.code == 400
+
+
 def test_cors_preflight(running_server):
     req = urllib.request.Request(running_server + "/run_inference/", method="OPTIONS")
     resp = urllib.request.urlopen(req, timeout=30)
