@@ -102,15 +102,19 @@ class RiffusionPipeline:
         traced-unet / channels_last knobs are no-ops because XLA compilation
         and NHWC layout are always on.
 
-        dtype=None resolves to float32: measured on v5e, the fp32 UNet step
-        (batch-2 CFG at 64x64 latents) runs ~27% faster than bf16 at these
-        shapes — the model is fusion/memory-bound, not MXU-FLOP-bound, and
-        bf16 adds cast traffic at fusion boundaries. bf16 remains selectable.
+        dtype=None resolves to bfloat16 on TPU (with flash attention the
+        bf16 UNet step is fastest: 20.2 ms vs 22.6 ms fp32 on v5e; without
+        flash, fp32 was faster because the einsum-attention path was
+        cast-bound) and float32 on CPU (bf16 is emulated there).
         """
         del use_traced_unet, channels_last, local_files_only, cache_dir
         resolved_device = jax_util.check_device(device)
-        if dtype is None or (resolved_device == "cpu" and dtype == jnp.bfloat16):
+        if resolved_device == "cpu":
             dtype = jnp.float32
+        elif dtype is None:
+            from riffusion_tpu.models.layers import ATTENTION_IMPL
+
+            dtype = jnp.bfloat16 if ATTENTION_IMPL == "flash" else jnp.float32
         bundle = load_bundle(checkpoint, dtype=dtype)
         if scheduler is not None:
             bundle.scheduler_name = scheduler
