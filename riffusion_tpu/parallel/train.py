@@ -166,10 +166,16 @@ class DiffusionTrainer:
 def dryrun_train_step(n_devices: int, mesh_axes: T.Tuple[str, ...] = ("data", "model", "seq")):
     """Build an n-device mesh, jit the FULL sharded train step on tiny shapes,
     and run one update. Used by __graft_entry__.dryrun_multichip."""
+    import jax as _jax
+
     from riffusion_tpu.parallel.mesh import factor_mesh_shape, make_mesh
 
+    devices = _jax.devices()[:n_devices]
+    assert len(devices) == n_devices, (
+        f"need {n_devices} devices, have {len(_jax.devices())}"
+    )
     shape = factor_mesh_shape(n_devices, len(mesh_axes))
-    mesh = make_mesh(shape, mesh_axes)
+    mesh = make_mesh(shape, mesh_axes, devices=devices)
     cfg = UNetConfig.tiny()
     trainer = DiffusionTrainer(cfg, mesh, dtype=jnp.float32)
 
