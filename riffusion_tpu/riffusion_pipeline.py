@@ -57,13 +57,19 @@ class RiffusionPipeline:
         self.noise_config = noise_config
         jax_util.enable_persistent_compilation_cache()
 
-        self.unet, self.vae, self.text_encoder = bundle.modules()
+        self.unet, _, self.text_encoder = bundle.modules()
+        # The VAE always runs fp32: measured on v5e its conv stack is 2x
+        # SLOWER in bf16 (56 vs 28 ms decode) — it is layout/fusion bound,
+        # and fp32 also protects decode quality.
+        from riffusion_tpu.models.vae import AutoencoderKL
+
+        self.vae = AutoencoderKL(bundle.vae_config, dtype=jnp.float32)
         self.tokenizer = bundle.tokenizer
 
-        # Store params in the compute dtype (bf16 on TPU): halves the weight
-        # HBM traffic per UNet step and removes per-layer fp32->bf16 cast ops
-        # (fp32 checkpoints stay lossless on disk; the cast happens once
-        # here). Norm layers compute in fp32 via flax dtype promotion.
+        # Store UNet/CLIP params in the compute dtype (bf16 on TPU): halves
+        # the weight HBM traffic per UNet step and removes per-layer
+        # fp32->bf16 cast ops (fp32 checkpoints stay lossless on disk; the
+        # cast happens once here). Norms compute in fp32 via flax promotion.
         param_dtype = bundle.dtype
         put = functools.partial(jax.device_put, device=self._jax_device)
 
@@ -72,8 +78,13 @@ class RiffusionPipeline:
                 x = x.astype(param_dtype)
             return put(x)
 
+        def place_f32(x):
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(jnp.float32)
+            return put(x)
+
         self.unet_params = jax.tree.map(place, bundle.unet_params)
-        self.vae_params = jax.tree.map(place, bundle.vae_params)
+        self.vae_params = jax.tree.map(place_f32, bundle.vae_params)
         self.clip_params = jax.tree.map(place, bundle.clip_params)
 
         self._encode_ids = jax.jit(
