@@ -405,7 +405,12 @@ _STEPPERS = {
     "dpmpp": _dpmpp_step,
 }
 
-_SIGMA_BASED = ("lms", "euler", "euler_a", "dpmpp")
+#: Schedulers whose step() operates in k-diffusion sigma space (x = x0 + sigma*eps)
+#: rather than DDPM space (x = sqrt(a)*x0 + sqrt(1-a)*eps). Their forward
+#: noising must use `add_noise_sigma`, mirroring how each diffusers scheduler
+#: owns its add_noise (the reference delegates at riffusion_pipeline.py:379).
+SIGMA_BASED = ("lms", "euler", "euler_a", "dpmpp")
+_SIGMA_BASED = SIGMA_BASED
 
 
 @functools.lru_cache(maxsize=64)
@@ -465,3 +470,17 @@ def add_noise_sigma(plan: SchedulerPlan, sample: Array, noise: Array, i: Array) 
     """Sigma-space noising for k-diffusion style schedulers (img2img start)."""
     sigma = jnp.asarray(plan.coeffs["sigmas"])[i]
     return sample + noise * sigma
+
+
+def add_noise_at_index(
+    plan: SchedulerPlan, noise_cfg: NoiseConfig, sample: Array, noise: Array, i: Array
+) -> Array:
+    """Noise `sample` for consumption at plan index `i`, in the scheduler's own
+    working space. Sigma-based samplers (lms/euler/euler_a/dpmpp) divide the
+    UNet input by sqrt(sigma^2+1) in scale_model_input, so their noised latents
+    must carry the full `x0 + sigma*eps` scale; DDPM-space noising would leave
+    them under-scaled by sqrt(1+sigma^2). PNDM/DDIM keep the DDPM convention.
+    """
+    if plan.name in SIGMA_BASED:
+        return add_noise_sigma(plan, sample, noise, i)
+    return add_noise(noise_cfg, sample, noise, jnp.asarray(plan.timesteps)[jnp.asarray(i)])

@@ -100,12 +100,18 @@ ATTENTION_IMPL = _os.environ.get("RIFFUSION_TPU_ATTENTION", "flash")
 
 
 class Attention(nn.Module):
-    """Multi-head attention (self when context is None). fp32 softmax."""
+    """Multi-head attention (self when context is None). fp32 softmax.
+
+    `flash=False` disables the Pallas TPU kernel regardless of backend — the
+    pipeline sets it from its actual target device, because a CPU-jitted
+    program on a TPU-default host must not emit TPU pallas_call ops
+    (jax.default_backend() alone cannot see the jit target)."""
 
     num_heads: int
     head_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.float32
+    flash: bool = True
 
     @nn.compact
     def __call__(self, x: Array, context: T.Optional[Array] = None) -> Array:
@@ -124,7 +130,8 @@ class Attention(nn.Module):
         scale = 1.0 / np.sqrt(self.head_dim)
         d_pad = 64 if self.head_dim <= 64 else 128
         use_flash = (
-            ATTENTION_IMPL == "flash"
+            self.flash
+            and ATTENTION_IMPL == "flash"
             and context is None  # self-attention only (cross kv=77 needs masks)
             and lq >= 256
             and self.head_dim <= d_pad  # skip 1280-ch blocks (head_dim 160)
@@ -196,12 +203,15 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    flash: bool = True
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
         head_dim = self.dim // self.num_heads
-        attn1 = Attention(self.num_heads, head_dim, self.dim, self.dtype, name="attn1")
-        attn2 = Attention(self.num_heads, head_dim, self.dim, self.dtype, name="attn2")
+        attn1 = Attention(self.num_heads, head_dim, self.dim, self.dtype,
+                          flash=self.flash, name="attn1")
+        attn2 = Attention(self.num_heads, head_dim, self.dim, self.dtype,
+                          flash=self.flash, name="attn2")
         ff = GEGLUFeedForward(self.dim, self.dtype, name="ff")
 
         x = x + attn1(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x))
@@ -217,6 +227,7 @@ class Transformer2D(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     depth: int = 1
+    flash: bool = True
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
@@ -227,7 +238,7 @@ class Transformer2D(nn.Module):
         y = y.reshape(b, h * w, c)
         for i in range(self.depth):
             y = BasicTransformerBlock(
-                c, self.num_heads, self.dtype, name=f"blocks_{i}"
+                c, self.num_heads, self.dtype, flash=self.flash, name=f"blocks_{i}"
             )(y, context)
         y = y.reshape(b, h, w, c)
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)

@@ -63,6 +63,7 @@ class CrossAttnDownBlock(nn.Module):
     add_downsample: bool
     has_attn: bool
     dtype: jnp.dtype
+    flash: bool = True
 
     @nn.compact
     def __call__(self, x: Array, temb: Array, context: Array):
@@ -74,7 +75,8 @@ class CrossAttnDownBlock(nn.Module):
             )(x, temb)
             if self.has_attn:
                 x = Transformer2D(
-                    self.cfg.attention_head_dim, self.dtype, name=f"attentions_{i}"
+                    self.cfg.attention_head_dim, self.dtype, flash=self.flash,
+                    name=f"attentions_{i}",
                 )(x, context)
             skips.append(x)
         if self.add_downsample:
@@ -89,6 +91,7 @@ class CrossAttnUpBlock(nn.Module):
     add_upsample: bool
     has_attn: bool
     dtype: jnp.dtype
+    flash: bool = True
 
     @nn.compact
     def __call__(self, x: Array, skips: T.List[Array], temb: Array, context: Array,
@@ -101,7 +104,8 @@ class CrossAttnUpBlock(nn.Module):
             )(x, temb)
             if self.has_attn:
                 x = Transformer2D(
-                    self.cfg.attention_head_dim, self.dtype, name=f"attentions_{i}"
+                    self.cfg.attention_head_dim, self.dtype, flash=self.flash,
+                    name=f"attentions_{i}",
                 )(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, self.dtype, name="upsamplers_0")(
@@ -114,15 +118,17 @@ class MidBlock(nn.Module):
     cfg: UNetConfig
     channels: int
     dtype: jnp.dtype
+    flash: bool = True
 
     @nn.compact
     def __call__(self, x: Array, temb: Array, context: Array) -> Array:
         x = ResnetBlock2D(
             self.channels, self.dtype, self.cfg.norm_num_groups, name="resnets_0"
         )(x, temb)
-        x = Transformer2D(self.cfg.attention_head_dim, self.dtype, name="attentions_0")(
-            x, context
-        )
+        x = Transformer2D(
+            self.cfg.attention_head_dim, self.dtype, flash=self.flash,
+            name="attentions_0",
+        )(x, context)
         x = ResnetBlock2D(
             self.channels, self.dtype, self.cfg.norm_num_groups, name="resnets_1"
         )(x, temb)
@@ -138,6 +144,9 @@ class UNet2DCondition(nn.Module):
 
     cfg: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    #: allow the Pallas flash-attention kernel (set False when this module
+    #: will be jitted for CPU on a TPU-default host; see layers.Attention)
+    flash: bool = True
 
     @nn.compact
     def __call__(self, sample: Array, timesteps: Array, encoder_hidden_states: Array) -> Array:
@@ -169,11 +178,13 @@ class UNet2DCondition(nn.Module):
                 add_downsample=(b != num_blocks - 1),
                 has_attn=cfg.cross_attn_blocks[b],
                 dtype=self.dtype,
+                flash=self.flash,
                 name=f"down_blocks_{b}",
             )(x, temb, context)
             skips.extend(block_skips)
 
-        x = MidBlock(cfg, cfg.block_out_channels[-1], self.dtype, name="mid_block")(
+        x = MidBlock(cfg, cfg.block_out_channels[-1], self.dtype, flash=self.flash,
+                     name="mid_block")(
             x, temb, context
         )
 
@@ -191,6 +202,7 @@ class UNet2DCondition(nn.Module):
                 add_upsample=(b != 0),
                 has_attn=cfg.cross_attn_blocks[b],
                 dtype=self.dtype,
+                flash=self.flash,
                 name=f"up_blocks_{num_blocks - 1 - b}",
             )(x, list(block_skips), temb, context, upsample_to=upsample_to)
 

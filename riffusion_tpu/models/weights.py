@@ -46,10 +46,10 @@ class ModelBundle:
     scheduler_name: str = "pndm"
     dtype: T.Any = jnp.bfloat16
 
-    def modules(self, dtype=None):
+    def modules(self, dtype=None, flash: bool = True):
         dtype = dtype or self.dtype
         return (
-            UNet2DCondition(self.unet_config, dtype=dtype),
+            UNet2DCondition(self.unet_config, dtype=dtype, flash=flash),
             AutoencoderKL(self.vae_config, dtype=dtype),
             CLIPTextModel(self.clip_config, dtype=dtype),
         )

@@ -57,7 +57,9 @@ class RiffusionPipeline:
         self.noise_config = noise_config
         jax_util.enable_persistent_compilation_cache()
 
-        self.unet, _, self.text_encoder = bundle.modules()
+        # flash eligibility must follow the pipeline's ACTUAL target device:
+        # a CPU-jitted program on a TPU-default host must not emit pallas ops
+        self.unet, _, self.text_encoder = bundle.modules(flash=(self.device != "cpu"))
         # The VAE always runs fp32: measured on v5e its conv stack is 2x
         # SLOWER in bf16 (56 vs 28 ms decode) — it is layout/fusion bound,
         # and fp32 also protects decode quality.
@@ -199,8 +201,11 @@ class RiffusionPipeline:
             eps = eps_u + guidance * (eps_t - eps_u)
             lat, st = sched.step(plan, st, i, eps.astype(lat.dtype), lat)
             if mask is not None:
-                init_proper = sched.add_noise(
-                    self.noise_config, init_latents_orig, noise, timesteps[i]
+                # re-noise in the scheduler's own working space (sigma-space
+                # for k-diffusion samplers), as each diffusers scheduler's
+                # add_noise does in the reference loop (:420-425)
+                init_proper = sched.add_noise_at_index(
+                    plan, self.noise_config, init_latents_orig, noise, i
                 )
                 lat = init_proper * mask + lat * (1.0 - mask)
             return (lat, st), None
@@ -245,9 +250,15 @@ class RiffusionPipeline:
             noise_b = jax.random.normal(key_b, init_latents.shape, jnp.float32)
             noise = jax_util.slerp(alpha, noise_a, noise_b)
 
-            latents = sched.add_noise(
-                self.noise_config, init_latents, noise, jnp.asarray(noise_timestep)
-            )
+            if plan.name in sched.SIGMA_BASED:
+                # k-diffusion samplers start at x0 + sigma_start*eps (their
+                # scale_model_input divides by sqrt(sigma^2+1)); index 0 of
+                # the t_start-sliced plan is the first executed sigma
+                latents = sched.add_noise_sigma(plan, init_latents, noise, 0)
+            else:
+                latents = sched.add_noise(
+                    self.noise_config, init_latents, noise, jnp.asarray(noise_timestep)
+                )
 
             latents = self._scan_denoise(
                 plan, unet_params, latents, text_emb, guidance,
@@ -287,10 +298,27 @@ class RiffusionPipeline:
         init_image: Image.Image,
         mask_image: T.Optional[Image.Image] = None,
         use_reweighting: bool = True,
+        scheduler: T.Optional[str] = None,
     ) -> Image.Image:
         """Interpolated img2img generation -> spectrogram PIL image."""
-        image_u8, _ = self._run(inputs, init_image, mask_image, use_reweighting, None)
+        image_u8, _ = self._run(
+            inputs, init_image, mask_image, use_reweighting, None, scheduler
+        )
         return Image.fromarray(np.asarray(image_u8), mode="RGB")
+
+    def interpolate_img2img(
+        self,
+        inputs: InferenceInput,
+        init_image: Image.Image,
+        mask_image: T.Optional[Image.Image] = None,
+        use_reweighting: bool = True,
+        scheduler: T.Optional[str] = None,
+    ) -> Image.Image:
+        """Public alias for the prompt-interpolated img2img core, kept for
+        drop-in API parity with the reference's exposed method
+        (riffusion_pipeline.py:289). In this framework the interpolation core
+        and riffuse are the same fused program."""
+        return self.riffuse(inputs, init_image, mask_image, use_reweighting, scheduler)
 
     def riffuse_audio(
         self,
@@ -305,6 +333,7 @@ class RiffusionPipeline:
         one device program (the BASELINE.json north-star path)."""
         params = params or SpectrogramParams()
         image_u8, waveform = self._run(inputs, init_image, mask_image, use_reweighting, params)
+        assert waveform is not None
         # one batched device->host readback (separate np.asarray calls pay
         # the transfer round trip twice on remote-device setups)
         image_np, waveform_np = jax.device_get((image_u8, waveform))
@@ -322,7 +351,9 @@ class RiffusionPipeline:
         mask_image: T.Optional[Image.Image],
         use_reweighting: bool,
         fused_params: T.Optional[SpectrogramParams],
+        scheduler: T.Optional[str] = None,
     ):
+        scheduler_name = scheduler or self.bundle.scheduler_name
         alpha = float(inputs.alpha)
         start, end = inputs.start, inputs.end
         num_steps = inputs.num_inference_steps
@@ -357,13 +388,11 @@ class RiffusionPipeline:
         offset = self.noise_config.steps_offset
         init_timestep = min(int(num_steps * strength) + offset, num_steps)
         t_start = max(num_steps - init_timestep + offset, 0)
-        full_plan = sched.make_plan(
-            self.bundle.scheduler_name, num_steps, 0, self.noise_config
-        )
+        full_plan = sched.make_plan(scheduler_name, num_steps, 0, self.noise_config)
         noise_timestep = int(full_plan.timesteps[-init_timestep])
 
         program = self._riffuse_program(
-            self.bundle.scheduler_name,
+            scheduler_name,
             num_steps,
             t_start,
             noise_timestep,
@@ -482,13 +511,9 @@ class RiffusionPipeline:
             alpha=0.0,
             num_inference_steps=num_inference_steps,
         )
-        prev_scheduler = self.bundle.scheduler_name
-        if scheduler is not None:
-            self.bundle.scheduler_name = scheduler
-        try:
-            return self.riffuse(inputs, init_image)
-        finally:
-            self.bundle.scheduler_name = prev_scheduler
+        # scheduler override is threaded through _run as a parameter (no
+        # shared-state mutation; safe if the pipeline is shared across threads)
+        return self.riffuse(inputs, init_image, scheduler=scheduler)
 
 
     # ------------------------------------------------------------ batch mode
@@ -500,8 +525,9 @@ class RiffusionPipeline:
         fused_params: T.Optional[SpectrogramParams],
     ):
         """Batched variant of the riffuse program: N independent requests
-        (prompts/seeds/alphas) in one device program. Throughput on one v5e
-        scales ~2.3x at batch 8 vs serial (the CFG UNet runs at batch 2N)."""
+        (prompts/seeds/alphas) in one device program (the CFG UNet runs at
+        batch 2N). Measured end-to-end on one v5e (BENCH_r01): 1.27 clips/s at
+        batch 8 vs 0.94 serial, ~1.35x aggregate throughput."""
         plan = sched.make_plan(scheduler, num_steps, t_start, self.noise_config)
         scale = self.bundle.vae_config.scaling_factor
         converter = self.converter(fused_params) if fused_params is not None else None
@@ -516,9 +542,12 @@ class RiffusionPipeline:
             noise_a = jax.random.normal(key_a, init_latents.shape, jnp.float32)
             noise_b = jax.random.normal(key_b, init_latents.shape, jnp.float32)
             noise = jax_util.slerp(alpha, noise_a, noise_b)
-            latents = sched.add_noise(
-                self.noise_config, init_latents, noise, jnp.asarray(noise_timestep)
-            )
+            if plan.name in sched.SIGMA_BASED:
+                latents = sched.add_noise_sigma(plan, init_latents, noise, 0)
+            else:
+                latents = sched.add_noise(
+                    self.noise_config, init_latents, noise, jnp.asarray(noise_timestep)
+                )
             return latents
 
         def program(unet_params, vae_params, text_emb, init_images, keys,
@@ -679,16 +708,19 @@ class RiffusionPipeline:
             )
             orig = orig.astype(jnp.float32)
             noise = jax.random.normal(key_noise, orig.shape, jnp.float32)
-            latents = sched.add_noise(
-                self.noise_config, orig, noise, jnp.asarray(noise_timestep)
-            )
+            if plan.name in sched.SIGMA_BASED:
+                latents = sched.add_noise_sigma(plan, orig, noise, 0)
+            else:
+                latents = sched.add_noise(
+                    self.noise_config, orig, noise, jnp.asarray(noise_timestep)
+                )
 
             state = sched.init_state(plan, latents.shape, latents.dtype, key=key_sched)
 
             def body(carry, i):
                 lat, st = carry
                 blend = mix_steps[i]
-                q_sampled = sched.add_noise(self.noise_config, orig, noise, timesteps[i])
+                q_sampled = sched.add_noise_at_index(plan, self.noise_config, orig, noise, i)
                 lat = jnp.where(
                     blend > 0,
                     q_sampled * (1.0 - mix_factor) + lat * mix_factor,

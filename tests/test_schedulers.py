@@ -92,6 +92,73 @@ def test_pndm_counter_semantics():
     assert sliced.coeffs["avg_with_last"][1] == 1.0
 
 
+@pytest.mark.parametrize("name", sched.SCHEDULER_NAMES)
+def test_img2img_start_noising_recovers_signal(name):
+    """img2img parity: noising at the first executed index of a t_start-sliced
+    plan (via add_noise_at_index, the space-dispatching helper the pipeline
+    uses) must let the exact-eps oracle recover x0. With DDPM-space noising the
+    sigma-based samplers would start ~sqrt(1+sigma^2)x under-scaled and fail."""
+    key = jax.random.PRNGKey(5)
+    x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
+    noise = jax.random.normal(key, SHAPE)
+    cfg = sched.NoiseConfig()
+
+    num_steps, t_start = 12, 4  # strength ~0.67 img2img
+    plan = sched.make_plan(name, num_steps, t_start=t_start)
+    x = sched.add_noise_at_index(plan, cfg, x0, noise, jnp.asarray(0))
+
+    if name in sched.SIGMA_BASED:
+        sigmas = plan.coeffs["sigmas"]
+        # the start latent must carry the FULL x0 + sigma*eps scale
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(x0 + sigmas[0] * noise), rtol=1e-5
+        )
+
+        def eps_of(x, i):
+            return (x - x0) / max(sigmas[i], 1e-8)
+
+    else:
+        acp = cfg.alphas_cumprod
+
+        def eps_of(x, i):
+            a = acp[int(plan.timesteps[i])]
+            return (x - np.sqrt(a) * x0) / np.sqrt(1 - a)
+
+    state = sched.init_state(plan, x.shape, key=jax.random.PRNGKey(0))
+    for i in range(plan.num_steps):
+        x, state = sched.step(plan, state, jnp.asarray(i), eps_of(x, i), x)
+
+    if name in ("pndm", "ddim"):
+        f = cfg.final_alpha_cumprod
+        expected = np.sqrt(f) * x0 + np.sqrt(1 - f) * noise
+    else:
+        expected = x0
+    err = float(jnp.max(jnp.abs(x - expected)))
+    # pndm's sliced-plan warmup (counter-1 averaging) carries extra O(h^2)
+    # truncation error the oracle can't cancel; a wrong noising space would
+    # produce errors ~100x larger (sqrt(1+sigma^2) scale mismatch)
+    tol = 4e-2 if name == "pndm" else 2e-2
+    assert err < tol, f"{name}: max err {err}"
+
+
+def test_add_noise_at_index_dispatch():
+    """Space dispatch: sigma-based plans get sample + sigma*eps, DDPM-based
+    plans get sqrt(a)*sample + sqrt(1-a)*eps at the indexed timestep."""
+    cfg = sched.NoiseConfig()
+    x0 = jnp.ones(SHAPE)
+    noise = jnp.full(SHAPE, 2.0)
+
+    plan_e = sched.make_plan("euler", 10, t_start=3)
+    out = sched.add_noise_at_index(plan_e, cfg, x0, noise, jnp.asarray(2))
+    expect = 1.0 + 2.0 * plan_e.coeffs["sigmas"][2]
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+    plan_d = sched.make_plan("ddim", 10, t_start=3)
+    out = sched.add_noise_at_index(plan_d, cfg, x0, noise, jnp.asarray(2))
+    a = cfg.alphas_cumprod[int(plan_d.timesteps[2])]
+    np.testing.assert_allclose(np.asarray(out), np.sqrt(a) + 2 * np.sqrt(1 - a), rtol=1e-5)
+
+
 def test_add_noise_matches_closed_form():
     cfg = sched.NoiseConfig()
     x0 = jnp.ones((2, 4))
