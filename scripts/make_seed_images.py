@@ -115,6 +115,12 @@ SEEDS = {
 
 
 def make_masks(out_dir: Path) -> None:
+    """Inpainting masks with the reference's semantics: white (255) = fully
+    repainted, darker = increasingly kept (preprocess_mask inverts, so pixel
+    value/255 is the repaint weight; reference masks are near-white fields
+    with darker "keep" structure in the top frequency bands).
+    Structure matches the reference assets (top-third masks are binary at
+    round(pct*255); gradients run dark-at-top to white partway down)."""
     h = w = 512
     y = np.linspace(0, 1, h)[:, None]
 
@@ -123,22 +129,30 @@ def make_masks(out_dir: Path) -> None:
         img.save(out_dir / f"{name}.png")
         print(f"wrote {out_dir / name}.png")
 
-    # vertical beat-aligned white lines (repaint) on dark keep background
-    lines = np.zeros((h, w))
+    # faint beat-aligned vertical "keep" lines (80% repaint) over the upper
+    # bands of an otherwise fully-repainted field
+    lines = np.full((h, w), 255.0)
     for x in range(0, w, 32):
-        lines[:, x : x + 13] = 0.8 * 255
+        lines[: int(0.4 * h), x : x + 4] = 0.8 * 255
     save("mask_beat_lines_80", lines)
 
-    save("mask_gradient_dark", np.tile((1 - y) * 110, (1, w)))
-    save("mask_gradient_top_70", np.tile(np.clip((1 - y) * 2, 0, 1) * 0.7 * 255, (1, w)))
-    fifth = np.zeros((h, w))
-    fifth[: h // 5] = 0.75 * 255
-    save("mask_gradient_top_fifth_75", fifth)
-    third75 = np.zeros((h, w))
-    third75[: h // 3] = 0.75 * 255
+    # strong keep at the top fading quadratically to full repaint mid-image
+    dark = 32 + (255 - 32) * np.clip(2 * y, 0, 1) ** 2
+    save("mask_gradient_dark", np.tile(dark, (1, w)))
+
+    # mild keep (65%) at the top fading linearly to full repaint at mid-image
+    top70 = 165 + (255 - 165) * np.clip(2 * y, 0, 1)
+    save("mask_gradient_top_70", np.tile(top70, (1, w)))
+
+    # same, concentrated in the top third
+    fifth = 165 + (255 - 165) * np.clip(3 * y, 0, 1)
+    save("mask_gradient_top_fifth_75", np.tile(fifth, (1, w)))
+
+    third75 = np.full((h, w), 255.0)
+    third75[: h // 3] = 192  # ceil(0.75 * 255), the reference's value
     save("mask_top_third_75", third75)
-    third95 = np.zeros((h, w))
-    third95[: h // 3] = 0.95 * 255
+    third95 = np.full((h, w), 255.0)
+    third95[: h // 3] = round(0.95 * 255)
     save("mask_top_third_95", third95)
 
 

@@ -51,7 +51,33 @@ def test_encode_matches_golden_stereo(test_device):
     assert diff.max() <= 2, f"max pixel diff {diff.max()}"
 
 
-def test_encode_matches_golden_mono(test_device):
+def test_encode_matches_golden_mono_bit_tight(test_device):
+    """The reference's mono golden is empirically the LEFT CHANNEL, not a
+    downmix: imaging channel 0 of the stereo spectrogram reproduces it with
+    max pixel diff <= 1 (verified against the artifact; identical EXIF
+    MAX_VALUE in both goldens corroborates). It predates the reference's
+    set_channels(1) coercion (spectrogram_image_converter.py:46-48) and the
+    reference's own tests never pixel-compare it. Deriving the same quantity
+    makes this golden bit-tight instead of the former mean<5/p99<30 band."""
+    from riffusion_tpu.spectrogram_converter import SpectrogramConverter
+    from riffusion_tpu.util import image_util
+
+    segment = AudioSegment.from_file(CLIP)
+    conv = SpectrogramConverter(SpectrogramParams(stereo=True), device=test_device)
+    spec = conv.spectrogram_from_audio(segment)  # (2, F, T)
+    img = image_util.image_from_spectrogram(spec[:1], power=0.25)
+    ours = np.array(img).astype(np.int16)
+    golden = np.array(Image.open(GOLDEN_MONO).convert("RGB")).astype(np.int16)
+    diff = np.abs(ours - golden)
+    assert diff.max() <= 2, f"max pixel diff {diff.max()}"
+
+
+def test_encode_mono_downmix_near_golden(test_device):
+    """Drift guard for the REAL mono path (pydub-style (L+R)/2 downmix, what
+    the reference's current code produces): the golden is a different mono
+    derivation (see above), so this is tolerance-banded; the measured delta
+    is mean ~3.4 / p99 ~24 from downmix-vs-left-channel content, not DSP
+    error (the stereo and channel-0 tests above are bit-tight)."""
     segment = AudioSegment.from_file(CLIP)
     conv = SpectrogramImageConverter(SpectrogramParams(stereo=False), device=test_device)
     ours = np.array(conv.spectrogram_image_from_audio(segment)).astype(np.int16)
