@@ -98,6 +98,23 @@ import os as _os
 #  "cast":  naive bf16 einsum with explicit fp32 cast around softmax
 ATTENTION_IMPL = _os.environ.get("RIFFUSION_TPU_ATTENTION", "flash")
 
+# Flash-gate tunables (read at trace time; module-level so benchmarks can A/B
+# them without code edits). Defaults are the measured-best configuration for
+# the FULL UNet step on v5e (isolated-op benches mislead — XLA fuses einsum
+# attention into its surrounding block):
+#   b=2  CFG step: flash 22.4 ms vs einsum-only 53.4 ms (2.4x)
+#   b=16 (batch-8 serving): hybrid 116.8 ms ~= einsum-only 118.8 ms
+#   b=32 (batch-16 serving): hybrid 238.7 ms vs flash-everywhere 280.2 ms
+#        vs einsum-only 244.9 ms  (= 14.9 ms per clip CFG pair)
+# Hybrid = einsum at self-attention sites with seq >= 2048 when b > 8; flash
+# elsewhere; head_dim 160 (1280-ch blocks) always einsum (pad-to-256 flash is
+# 2x faster in isolation but neutral-to-worse in context).
+FLASH_MAX_DPAD = int(_os.environ.get("RIFFUSION_TPU_FLASH_MAX_DPAD", "128"))
+EINSUM_SEQ_MIN = int(_os.environ.get("RIFFUSION_TPU_EINSUM_SEQ_MIN", "2048"))
+EINSUM_B_LO = int(_os.environ.get("RIFFUSION_TPU_EINSUM_B_LO", "8"))
+EINSUM_B_HI = int(_os.environ.get("RIFFUSION_TPU_EINSUM_B_HI", str(1 << 30)))
+FLASH_BLOCK_B_MIN = int(_os.environ.get("RIFFUSION_TPU_FLASH_BLOCK_B_MIN", "32"))
+
 
 class Attention(nn.Module):
     """Multi-head attention (self when context is None). fp32 softmax.
@@ -128,14 +145,23 @@ class Attention(nn.Module):
         v = v.reshape(b, lk, self.num_heads, self.head_dim)
 
         scale = 1.0 / np.sqrt(self.head_dim)
-        d_pad = 64 if self.head_dim <= 64 else 128
+        # zero-padded head size: exact (padded q/k dims contribute nothing to
+        # the logits; padded v columns are sliced away). head_dim 160 (the
+        # 1280-ch blocks) pads to 256.
+        d_pad = 64 if self.head_dim <= 64 else (128 if self.head_dim <= 128 else 256)
+        # Flash/einsum choice, measured in-context on the full v5e UNet step
+        # (isolated op benches mislead here — XLA fuses einsum attention with
+        # its block): einsum wins for batched serving at large seq, flash
+        # wins everywhere at interactive batch. Tunables are module-level so
+        # benchmarks can A/B them.
+        einsum_window = lq >= EINSUM_SEQ_MIN and EINSUM_B_LO < b < EINSUM_B_HI
         use_flash = (
             self.flash
             and ATTENTION_IMPL == "flash"
             and context is None  # self-attention only (cross kv=77 needs masks)
             and lq >= 256
-            and self.head_dim <= d_pad  # skip 1280-ch blocks (head_dim 160)
-            and b <= 8  # at larger batches XLA's einsum attention wins (block_b=1)
+            and d_pad <= FLASH_MAX_DPAD
+            and not einsum_window
             and jax.default_backend() != "cpu"
         )
         if use_flash:
@@ -144,8 +170,6 @@ class Attention(nn.Module):
                 flash_attention,
             )
 
-            # zero-pad head_dim to a flash-friendly size; exact (padded dims
-            # contribute nothing to logits, padded v columns are sliced away)
             def prep(x):
                 x = x.transpose(0, 2, 1, 3).astype(jnp.bfloat16)  # (B,H,S,D)
                 if d_pad != self.head_dim:
@@ -153,8 +177,9 @@ class Attention(nn.Module):
                 return x
 
             bq = bk = min(512, lq)
+            block_b = 8 if (b >= FLASH_BLOCK_B_MIN and b % 8 == 0) else 1
             block_sizes = BlockSizes(
-                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=block_b,
                 block_q_major_dkv=bq, block_k_major_dkv=bk,
                 block_k_dkv=bk, block_q_dkv=bq,
                 block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,

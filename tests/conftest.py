@@ -24,6 +24,22 @@ if os.environ["RIFFUSION_TEST_DEVICE"] == "cpu":
 
     jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-bound on CPU (every test program is compiled by
+# XLA:CPU/LLVM); a persistent compilation cache makes warm re-runs and CI
+# (which persists the dir via actions/cache) several times faster. Opt out
+# with RIFFUSION_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("RIFFUSION_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = os.environ.get(
+        "RIFFUSION_TEST_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "riffusion_tpu", "xla-tests"),
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

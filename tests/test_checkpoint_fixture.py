@@ -226,6 +226,7 @@ def test_native_round_trip(tiny_diffusers_checkpoint, tmp_path):
     assert again.clip_config == bundle.clip_config
 
 
+@pytest.mark.slow  # subprocess re-import + conversion (~45 s); in-process path covered above
 def test_convert_checkpoint_script(tiny_diffusers_checkpoint, tmp_path):
     """scripts/convert_checkpoint.py main() end to end, including tokenizer
     file carry-over into the native checkpoint."""

@@ -122,3 +122,37 @@ def test_scheduler_switch(pipe, init_image):
     img_d = pipe.img2img("beat", init_image, num_inference_steps=4, scheduler="ddim")
     img_e = pipe.img2img("beat", init_image, num_inference_steps=4, scheduler="euler")
     assert img_d.size == img_e.size == (64, 64)
+
+
+def test_img2img_magic_mix(pipe, init_image):
+    """MagicMix semantic img2img (reference streamlit/util.py:317-350):
+    layout-preserving blend must run, be deterministic, and respond to
+    mix_factor."""
+    img1 = pipe.img2img_magic_mix(
+        "orchestral strings", init_image, num_inference_steps=4, seed=7,
+        kmin=0.3, kmax=0.6, mix_factor=0.5,
+    )
+    img2 = pipe.img2img_magic_mix(
+        "orchestral strings", init_image, num_inference_steps=4, seed=7,
+        kmin=0.3, kmax=0.6, mix_factor=0.5,
+    )
+    assert img1.size == (64, 64)
+    np.testing.assert_array_equal(np.array(img1), np.array(img2))
+
+    img3 = pipe.img2img_magic_mix(
+        "orchestral strings", init_image, num_inference_steps=4, seed=7,
+        kmin=0.3, kmax=0.6, mix_factor=0.9,
+    )
+    assert not np.array_equal(np.array(img1), np.array(img3))
+
+
+def test_img2img_magic_mix_sigma_scheduler(pipe, init_image):
+    """Magic mix under a sigma-space scheduler exercises the
+    add_noise_at_index dispatch in the q-sampling branch."""
+    img = pipe.img2img_magic_mix(
+        "piano", init_image, num_inference_steps=4, seed=3, scheduler="euler",
+    )
+    arr = np.array(img)
+    assert arr.shape == (64, 64, 3)
+    assert np.isfinite(arr.astype(np.float64)).all()
+    assert arr.std() > 0

@@ -204,6 +204,7 @@ def test_mesh_factorization():
     assert factor_mesh_shape(6, 2) == (2, 3)
 
 
+@pytest.mark.slow  # ~110 s subprocess compile; the driver also runs this boundary every round
 def test_dryrun_multichip_8_devices():
     import sys
 

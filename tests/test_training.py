@@ -31,6 +31,7 @@ def _fresh(state):
     return jax.tree.map(jnp.copy, state)
 
 
+@pytest.mark.slow  # ~3 min: sharded train-step compile + 8 optimization steps
 def test_loss_decreases(trainer_setup):
     trainer, params, opt_state, latents, context = trainer_setup
     params, opt_state = _fresh(params), _fresh(opt_state)
