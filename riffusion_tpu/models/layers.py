@@ -114,6 +114,7 @@ EINSUM_SEQ_MIN = int(_os.environ.get("RIFFUSION_TPU_EINSUM_SEQ_MIN", "2048"))
 EINSUM_B_LO = int(_os.environ.get("RIFFUSION_TPU_EINSUM_B_LO", "8"))
 EINSUM_B_HI = int(_os.environ.get("RIFFUSION_TPU_EINSUM_B_HI", str(1 << 30)))
 FLASH_BLOCK_B_MIN = int(_os.environ.get("RIFFUSION_TPU_FLASH_BLOCK_B_MIN", "32"))
+FLASH_BLOCK_MAX = int(_os.environ.get("RIFFUSION_TPU_FLASH_BLOCK_MAX", "512"))
 
 
 class Attention(nn.Module):
@@ -176,7 +177,7 @@ class Attention(nn.Module):
                     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, d_pad - self.head_dim)))
                 return x
 
-            bq = bk = min(512, lq)
+            bq = bk = min(FLASH_BLOCK_MAX, lq)
             block_b = 8 if (b >= FLASH_BLOCK_B_MIN and b % 8 == 0) else 1
             block_sizes = BlockSizes(
                 block_q=bq, block_k_major=bk, block_k=bk, block_b=block_b,

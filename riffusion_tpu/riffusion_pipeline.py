@@ -42,6 +42,16 @@ from riffusion_tpu.util import audio_util, jax_util
 Array = jax.Array
 
 
+def _waveform_to_int16(waveform: Array) -> Array:
+    """Peak-normalize to int16 full scale ON DEVICE (same math as
+    AudioSegment.from_float(normalize=True)); halves the device->host
+    waveform transfer and moves the peak scan off the host."""
+    peak = jnp.max(jnp.abs(waveform), axis=tuple(range(1, waveform.ndim)), keepdims=True) \
+        if waveform.ndim > 2 else jnp.max(jnp.abs(waveform))
+    scale = jnp.where(peak > 0, 32767.0 / jnp.maximum(peak, 1e-30), 1.0)
+    return jnp.clip(jnp.round(waveform * scale), -32768, 32767).astype(jnp.int16)
+
+
 class RiffusionPipeline:
     """Diffusion pipeline for audio spectrogram generation on TPU."""
 
@@ -294,7 +304,7 @@ class RiffusionPipeline:
             waveform = converter.waveform_from_mel_amplitudes(
                 mel_amps, key=key_sched, consts=dsp_consts
             )
-            return image_u8, waveform
+            return image_u8, _waveform_to_int16(waveform)
 
         return jax.jit(program, device=self._jax_device)
 
@@ -348,11 +358,10 @@ class RiffusionPipeline:
         image_u8, waveform = self._run(inputs, init_image, mask_image, use_reweighting, params)
         assert waveform is not None
         # one batched device->host readback (separate np.asarray calls pay
-        # the transfer round trip twice on remote-device setups)
+        # the transfer round trip twice on remote-device setups); waveform
+        # arrives int16 peak-normalized from the device program
         image_np, waveform_np = jax.device_get((image_u8, waveform))
-        segment = audio_util.audio_from_waveform(
-            waveform_np, params.sample_rate, normalize=True
-        )
+        segment = AudioSegment(waveform_np.T, params.sample_rate)
         if apply_filters:
             segment = audio_util.apply_filters(segment, compression=False)
         return Image.fromarray(image_np, mode="RGB"), segment
@@ -618,7 +627,7 @@ class RiffusionPipeline:
             waveforms = converter.waveform_from_mel_amplitudes(
                 mel_amps, key=keys[0, 3], consts=dsp_consts
             )  # (N*C, samples)
-            return images_u8, waveforms.reshape(n, c, -1)
+            return images_u8, _waveform_to_int16(waveforms.reshape(n, c, -1))
 
         return jax.jit(program, device=self._jax_device)
 
@@ -695,9 +704,8 @@ class RiffusionPipeline:
         results = []
         for i in range(n):
             image = Image.fromarray(images_np[i], mode="RGB")
-            segment = audio_util.audio_from_waveform(
-                waveforms_np[i], params.sample_rate, normalize=True
-            )
+            # int16 peak-normalized on device; (C, samples) -> (samples, C)
+            segment = AudioSegment(waveforms_np[i].T, params.sample_rate)
             if apply_filters:
                 segment = audio_util.apply_filters(segment, compression=False)
             results.append((image, segment))
