@@ -254,12 +254,13 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     depth: int = 1
     flash: bool = True
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x: Array, context: Array) -> Array:
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
         y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y.astype(self.dtype))
         y = y.reshape(b, h * w, c)
         for i in range(self.depth):

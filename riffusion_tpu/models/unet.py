@@ -76,7 +76,7 @@ class CrossAttnDownBlock(nn.Module):
             if self.has_attn:
                 x = Transformer2D(
                     self.cfg.attention_head_dim, self.dtype, flash=self.flash,
-                    name=f"attentions_{i}",
+                    groups=self.cfg.norm_num_groups, name=f"attentions_{i}",
                 )(x, context)
             skips.append(x)
         if self.add_downsample:
@@ -105,7 +105,7 @@ class CrossAttnUpBlock(nn.Module):
             if self.has_attn:
                 x = Transformer2D(
                     self.cfg.attention_head_dim, self.dtype, flash=self.flash,
-                    name=f"attentions_{i}",
+                    groups=self.cfg.norm_num_groups, name=f"attentions_{i}",
                 )(x, context)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, self.dtype, name="upsamplers_0")(
@@ -127,7 +127,7 @@ class MidBlock(nn.Module):
         )(x, temb)
         x = Transformer2D(
             self.cfg.attention_head_dim, self.dtype, flash=self.flash,
-            name="attentions_0",
+            groups=self.cfg.norm_num_groups, name="attentions_0",
         )(x, context)
         x = ResnetBlock2D(
             self.channels, self.dtype, self.cfg.norm_num_groups, name="resnets_1"

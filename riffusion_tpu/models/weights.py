@@ -60,6 +60,9 @@ class ModelBundle:
 
 def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> ModelBundle:
     """Deterministic random-weight bundle ("tiny" or "full" SD v1 geometry)."""
+    from riffusion_tpu.util import jax_util
+
+    jax_util.enable_persistent_compilation_cache()
     if size == "tiny":
         unet_cfg, vae_cfg, clip_cfg = UNetConfig.tiny(), VAEConfig.tiny(), CLIPTextConfig.tiny()
     elif size == "full":
@@ -118,6 +121,12 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
 
         def build(key):
             pool = jax.random.normal(key, (pool_size,), jnp.float32)
+            # Static-index slices of a tiled pool: each leaf lowers to one
+            # slice + reshape (vs the previous roll+resize, whose ~700
+            # million-element gathers made the HLO so large that even a
+            # *cached* compile cost ~20 s per tree; XLA CSEs the shared
+            # tile/concat across leaves).
+            tiled = {1: pool}
 
             def make(spec):
                 kind, s_, start, std = spec
@@ -125,8 +134,12 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
                     return jnp.zeros(s_.shape, s_.dtype)
                 if kind == "ones":
                     return jnp.ones(s_.shape, s_.dtype)
-                rolled = jnp.roll(pool, -start)
-                return (jnp.resize(rolled, s_.shape) * std).astype(s_.dtype)
+                n = int(np.prod(s_.shape)) if s_.shape else 1
+                reps = -(-(start + n) // pool_size)  # ceil
+                if reps not in tiled:
+                    tiled[reps] = jnp.tile(pool, reps)
+                seg = jax.lax.slice_in_dim(tiled[reps], start, start + n)
+                return (seg.reshape(s_.shape) * std).astype(s_.dtype)
 
             return jax.tree.map(make, specs, is_leaf=lambda x: isinstance(x, tuple))
 

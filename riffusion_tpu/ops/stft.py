@@ -49,6 +49,45 @@ def hann_window(win_length: int) -> np.ndarray:
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float64)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _device_dft_consts(
+    n_fft: int, win_length: int, hop_length: int, offset: int, n_bins: int
+) -> T.Dict[str, "Array"]:
+    """Build the matmul-DFT operand matrices on device (see jax_consts).
+
+    The phase theta = 2*pi*m*k/n_fft is computed as 2*pi*((m*k) mod n_fft)
+    / n_fft with the mod taken in int32 — exact, so the only float error is
+    one rounding of theta in [0, 2pi) plus the cos/sin intrinsic, matching
+    the float64 host build to ~1e-6 absolute. Caller guarantees
+    (offset+win_length-1)*(n_bins-1) < 2**31.
+    """
+    nw = jnp.arange(win_length, dtype=jnp.int32)
+    window = 0.5 * (
+        1.0 - jnp.cos(nw.astype(jnp.float32) * jnp.float32(2.0 * np.pi / win_length))
+    )
+
+    m = (nw + offset)[:, None]
+    k = jnp.arange(n_bins, dtype=jnp.int32)[None, :]
+    theta = ((m * k) % n_fft).astype(jnp.float32) * jnp.float32(2.0 * np.pi / n_fft)
+    cos_m, msin_m = jnp.cos(theta), -jnp.sin(theta)
+
+    # inverse: transpose geometry with conjugate-symmetry doubling weights
+    full_bins = n_fft // 2 + 1
+    w = jnp.full((n_bins, 1), 2.0, jnp.float32).at[0].set(1.0)
+    if n_bins == full_bins and n_fft % 2 == 0:
+        w = w.at[-1].set(1.0)
+    scale = w * jnp.float32(1.0 / n_fft)
+    icos = cos_m.T * scale
+    imsin = msin_m.T * scale
+    return {
+        "window": window,
+        "cos": cos_m,
+        "msin": msin_m,
+        "icos": icos,
+        "imsin": imsin,
+    }
+
+
 @dataclasses.dataclass(frozen=True)
 class STFTKernel:
     """Precomputed constants + methods for one STFT geometry.
@@ -110,25 +149,57 @@ class STFTKernel:
         bloats the serialized module (and breaks remote-compile payload
         limits); as parameters they live in HBM once and the HLO stays tiny.
         """
-        cached = self.__dict__.get("_jax_consts_cache")
+        # kernels are shared across converters (get_stft_kernel cache), so the
+        # consts cache is keyed by the active default device — a CPU converter
+        # must not inherit TPU-resident operands (the device_put pull of
+        # ~100 MB matrices over a remote relay is exactly what this avoids)
+        caches = self.__dict__.setdefault("_jax_consts_caches", {})
+        dev_key = str(getattr(jax.config, "jax_default_device", None) or "default")
+        cached = caches.get(dev_key)
         if cached is None:
-            # Concrete even if first touched under a jit trace (otherwise the
-            # cache would hold leaked tracers from that trace).
-            with jax.ensure_compile_time_eval():
-                window = jnp.asarray(self._window, dtype=jnp.float32)
-                if self.backend == "fft":
-                    cached = {"window": window}
-                else:
-                    cos_m, msin_m = self._dft_mats
-                    icos, imsin = self._idft_mats
-                    cached = {
-                        "window": window,
-                        "cos": jnp.asarray(cos_m),
-                        "msin": jnp.asarray(msin_m),
-                        "icos": jnp.asarray(icos),
-                        "imsin": jnp.asarray(imsin),
-                    }
-            self.__dict__["_jax_consts_cache"] = cached
+            try:
+                from jax._src.core import trace_state_clean
+
+                in_trace = not trace_state_clean()
+            except ImportError:  # private API moved: assume traced (safe path)
+                in_trace = True
+            if (
+                self.backend == "dft"
+                and not in_trace
+                and (self._offset + self.win_length - 1) * max(self.n_bins - 1, 1) < 2**31
+            ):
+                # Synthesize the ~hundreds-of-MB DFT operands ON DEVICE (on
+                # the caller's default device; SpectrogramConverter wraps its
+                # init in `jax.default_device`): a host->device transfer of
+                # the numpy versions costs tens of seconds over a remote-TPU
+                # relay and dominated server warm start. Accuracy matches the
+                # float64 host path because the phase m*k is reduced mod
+                # n_fft in *integer* arithmetic before any float rounding
+                # (theta stays in [0, 2pi) with ~1e-7 error vs ~6e-4 from
+                # naive f32). NOT used under an outer trace:
+                # ensure_compile_time_eval would run the build op-by-op,
+                # which overflows remote-compile payload limits.
+                cached = _device_dft_consts(
+                    self.n_fft, self.win_length, self.hop_length,
+                    self._offset, self.n_bins,
+                )
+            else:
+                # Host build. Concrete even if first touched under a jit
+                # trace (otherwise the cache would hold leaked tracers).
+                with jax.ensure_compile_time_eval():
+                    if self.backend == "fft":
+                        cached = {"window": jnp.asarray(self._window, dtype=jnp.float32)}
+                    else:
+                        cos_m, msin_m = self._dft_mats
+                        icos, imsin = self._idft_mats
+                        cached = {
+                            "window": jnp.asarray(self._window, dtype=jnp.float32),
+                            "cos": jnp.asarray(cos_m),
+                            "msin": jnp.asarray(msin_m),
+                            "icos": jnp.asarray(icos),
+                            "imsin": jnp.asarray(imsin),
+                        }
+            caches[dev_key] = cached
         return cached
 
     @property

@@ -160,6 +160,14 @@ class DiffusionTrainer:
 
         checkpointer = ocp.StandardCheckpointer()
         restored = checkpointer.restore(f"{path}/state_{step}", target=like)
+        if like is not None:
+            # land restored arrays on the template's shardings — otherwise the
+            # next trainer.step sees different input layouts and recompiles
+            restored = jax.tree.map(
+                lambda r, l: jax.device_put(r, l.sharding)
+                if hasattr(l, "sharding") else r,
+                restored, like,
+            )
         return restored["params"], restored["opt_state"], restored["step"]
 
 

@@ -91,10 +91,14 @@ class SpectrogramConverter:
         )
 
         # Large constant operands are explicit jit arguments (see
-        # STFTKernel.jax_consts for why), device_put once at init.
+        # STFTKernel.jax_consts for why). The DFT operands are synthesized
+        # directly on the target device (jax.default_device scopes the jitted
+        # build), so only the small mel matrices pay a host->device transfer.
         put = functools.partial(jax.device_put, device=self._jax_device)
+        with jax.default_device(self._jax_device):
+            stft_consts = self._kernel.jax_consts()
         self._consts = {
-            "stft": jax.tree.map(put, self._kernel.jax_consts()),
+            "stft": jax.tree.map(put, stft_consts),
             "fb": put(jnp.asarray(self._fb_active)),
             "inv_mel": put(jnp.asarray(self._inv_mel)),
         }

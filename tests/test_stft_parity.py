@@ -40,7 +40,12 @@ def test_stft_matches_torch(mono_wave_short, backend):
     kernel = get_stft_kernel(p.n_fft, p.win_length, p.hop_length, backend=backend)
     ref = torch_stft(mono_wave_short, p)  # (bins, frames)
 
-    real, imag = jax.jit(kernel.stft)(jnp.asarray(mono_wave_short))
+    # consts as jit *arguments* (the production calling convention): closing
+    # over the ~100 MB DFT matrices embeds them as HLO literals, which makes
+    # even cache-hit compiles take a minute on CPU
+    real, imag = jax.jit(kernel.stft)(
+        jnp.asarray(mono_wave_short), kernel.jax_consts()
+    )
     got = np.asarray(real[0]) + 1j * np.asarray(imag[0])
 
     assert got.shape == ref.shape
@@ -56,8 +61,12 @@ def test_active_band_restriction_is_exact(mono_wave_short, backend):
     n_bins = 4096
     band = get_stft_kernel(p.n_fft, p.win_length, p.hop_length, n_bins=n_bins, backend=backend)
 
-    mag_full = np.asarray(jax.jit(full.magnitude)(jnp.asarray(mono_wave_short)))
-    mag_band = np.asarray(jax.jit(band.magnitude)(jnp.asarray(mono_wave_short)))
+    mag_full = np.asarray(
+        jax.jit(full.magnitude)(jnp.asarray(mono_wave_short), full.jax_consts())
+    )
+    mag_band = np.asarray(
+        jax.jit(band.magnitude)(jnp.asarray(mono_wave_short), band.jax_consts())
+    )
     np.testing.assert_allclose(mag_band, mag_full[:, :n_bins, :], atol=1e-3, rtol=1e-4)
 
 
@@ -81,6 +90,7 @@ def test_istft_matches_torch(mono_wave_short, backend):
         jax.jit(kernel.istft)(
             jnp.asarray(np.real(spec)[None].astype(np.float32)),
             jnp.asarray(np.imag(spec)[None].astype(np.float32)),
+            kernel.jax_consts(),
         )
     )[0]
 

@@ -1,6 +1,8 @@
 """Fine-tuning subsystem: loss decreases on a fixed batch, and training
 state round-trips through orbax checkpoints."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,8 +48,28 @@ def test_loss_decreases(trainer_setup):
     assert losses[-1] < losses[0], f"no learning: {losses}"
 
 
-def test_checkpoint_roundtrip(tmp_path, trainer_setup):
-    trainer, params, opt_state, latents, context = trainer_setup
+@pytest.fixture(scope="module")
+def small_trainer_setup():
+    """Single-device trainer for the checkpoint round trip: orbax save/restore
+    logic is device-count independent, and the 1x1-mesh compile is several
+    times cheaper than the 8-virtual-device SPMD compile (the sharded step
+    itself is covered by test_loss_decreases under -m slow)."""
+    mesh = make_mesh((1, 1), ("data", "model"), devices=jax.devices()[:1])
+    cfg = dataclasses.replace(
+        UNetConfig.tiny(), block_out_channels=(16, 16, 16, 16),
+        cross_attention_dim=16, norm_num_groups=4,
+    )
+    trainer = DiffusionTrainer(cfg, mesh, learning_rate=1e-3, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    params, opt_state = trainer.init(key)
+    s = cfg.sample_size
+    latents = jax.random.normal(jax.random.fold_in(key, 1), (2, s, s, cfg.in_channels))
+    context = jax.random.normal(jax.random.fold_in(key, 2), (2, 77, cfg.cross_attention_dim))
+    return trainer, params, opt_state, latents, context
+
+
+def test_checkpoint_roundtrip(tmp_path, small_trainer_setup):
+    trainer, params, opt_state, latents, context = small_trainer_setup
     params, opt_state = _fresh(params), _fresh(opt_state)
     params, opt_state, _ = trainer.step(
         params, opt_state, latents, context, jax.random.PRNGKey(3)
