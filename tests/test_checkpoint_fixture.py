@@ -87,10 +87,14 @@ def tiny_diffusers_checkpoint(tmp_path_factory):
     # --- unet ---
     unet_cfg = UNetConfig.tiny()
     unet = UNet2DCondition(unet_cfg, dtype=jnp.float32)
-    flax_params = unet.init(
-        key, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
-    )["params"]
+    # only the param tree STRUCTURE feeds the synthesized state dict, so
+    # eval_shape (no XLA compile, ~3 s) replaces init (~38 s on 1 CPU core)
+    flax_params = jax.eval_shape(
+        lambda: unet.init(
+            key, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
+        )["params"]
+    )
     sd = _synth_torch_state_dict(
         "unet", twc._torch_unet_keys(unet_cfg), twc._flatten(flax_params)
     )
@@ -112,7 +116,9 @@ def tiny_diffusers_checkpoint(tmp_path_factory):
     # --- vae ---
     vae_cfg = VAEConfig.tiny()
     vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
-    vae_params = vae.init(key, jnp.zeros((1, 64, 64, 3)), key)["params"]
+    vae_params = jax.eval_shape(
+        lambda: vae.init(key, jnp.zeros((1, 64, 64, 3)), key)["params"]
+    )
     sd = _synth_torch_state_dict(
         "vae", twc._torch_vae_keys(vae_cfg), twc._flatten(vae_params)
     )

@@ -26,18 +26,23 @@ def _flatten(tree, prefix=()):
         if isinstance(v, dict):
             out.update(_flatten(v, prefix + (k,)))
         else:
-            out["/".join(prefix + (k,))] = np.asarray(v)
+            # keep abstract leaves (jax.eval_shape ShapeDtypeStructs) intact:
+            # np.asarray would collapse them to 0-d object arrays
+            out["/".join(prefix + (k,))] = v if hasattr(v, "shape") else np.asarray(v)
     return out
 
 
-def _torch_shape(flax_path: str, arr: np.ndarray):
-    """Inverse layout transform: the torch-side shape for a flax leaf."""
+def _torch_shape(flax_path: str, arr) -> tuple:
+    """Inverse layout transform: the torch-side shape for a flax leaf.
+    Works from .shape alone so abstract leaves (jax.eval_shape output)
+    are accepted too."""
     leaf = flax_path.rsplit("/", 1)[-1]
-    if leaf == "kernel" and arr.ndim == 4:
-        return arr.transpose(3, 2, 0, 1).shape  # HWIO -> OIHW
-    if leaf == "kernel" and arr.ndim == 2:
-        return arr.T.shape
-    return arr.shape
+    s = tuple(arr.shape)
+    if leaf == "kernel" and len(s) == 4:
+        return (s[3], s[2], s[0], s[1])  # HWIO -> OIHW
+    if leaf == "kernel" and len(s) == 2:
+        return (s[1], s[0])
+    return s
 
 
 # ------------------------------------------------------------- name generators
@@ -217,25 +222,33 @@ def _torch_clip_keys(cfg: CLIPTextConfig):
 )
 def test_conversion_bijection(kind):
     key = jax.random.PRNGKey(0)
+    # the test consumes only the param tree STRUCTURE and leaf shapes, so
+    # abstract init (eval_shape, no XLA compile) replaces the real one
     if kind == "unet":
         cfg = UNetConfig.tiny()
         module = UNet2DCondition(cfg, dtype=jnp.float32)
-        flax_params = module.init(
-            key,
-            jnp.zeros((1, 8, 8, 4)),
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, 77, cfg.cross_attention_dim)),
-        )["params"]
+        flax_params = jax.eval_shape(
+            lambda: module.init(
+                key,
+                jnp.zeros((1, 8, 8, 4)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, cfg.cross_attention_dim)),
+            )["params"]
+        )
         torch_keys = _torch_unet_keys(cfg)
     elif kind == "vae":
         cfg = VAEConfig.tiny()
         module = AutoencoderKL(cfg, dtype=jnp.float32)
-        flax_params = module.init(key, jnp.zeros((1, 64, 64, 3)), key)["params"]
+        flax_params = jax.eval_shape(
+            lambda: module.init(key, jnp.zeros((1, 64, 64, 3)), key)["params"]
+        )
         torch_keys = _torch_vae_keys(cfg)
     else:
         cfg = CLIPTextConfig.tiny()
         module = CLIPTextModel(cfg, dtype=jnp.float32)
-        flax_params = module.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
+        flax_params = jax.eval_shape(
+            lambda: module.init(key, jnp.zeros((1, 77), jnp.int32))["params"]
+        )
         torch_keys = _torch_clip_keys(cfg)
 
     flat_flax = _flatten(flax_params)
