@@ -22,6 +22,7 @@ import logging
 import time
 import typing as T
 from http.server import BaseHTTPRequestHandler, HTTPServer
+from socketserver import ThreadingMixIn
 from pathlib import Path
 
 import PIL.Image
@@ -41,12 +42,38 @@ SEED_IMAGES_DIR = Path(Path(__file__).resolve().parent.parent, "seed_images")
 logger = logging.getLogger("riffusion_tpu.server")
 
 
+def _encode_output(image: PIL.Image.Image, segment) -> dict:
+    """Encode one (image, segment) result as an InferenceOutput dict."""
+    audio_bytes = io.BytesIO()
+    if _ffmpeg_path() is not None:
+        segment.export(audio_bytes, format="mp3")
+        audio_mime = "audio/mpeg"
+    else:
+        segment.export(audio_bytes, format="wav")
+        audio_mime = "audio/wav"
+
+    image_bytes = io.BytesIO()
+    image.save(image_bytes, exif=image.getexif(), format="JPEG")
+    image_bytes.seek(0)
+
+    return dataclasses.asdict(InferenceOutput(
+        image="data:image/jpeg;base64," + base64_util.encode(image_bytes),
+        audio=f"data:{audio_mime};base64," + base64_util.encode(audio_bytes),
+        duration_s=segment.duration_seconds,
+    ))
+
+
 def compute_request(
     inputs: InferenceInput,
     pipeline: RiffusionPipeline,
     seed_images_dir: T.Union[str, Path],
+    batcher=None,
 ) -> T.Union[str, T.Tuple[str, int]]:
-    """Run one inference request; returns JSON string or (error, status)."""
+    """Run one inference request; returns JSON string or (error, status).
+
+    With `batcher` set (a serving.DynamicBatcher), the request joins the
+    shared coalescing queue so concurrent requests run as one batched device
+    program; otherwise it calls the pipeline directly (reference behavior)."""
     init_image_path = Path(seed_images_dir, f"{inputs.seed_image_id}.png")
     if not init_image_path.is_file():
         return f"Invalid seed image: {inputs.seed_image_id}", 400
@@ -66,35 +93,25 @@ def compute_request(
         min_frequency=0, max_frequency=10000, num_frequencies=num_frequencies
     )
 
-    # Fused device program: UNet denoise -> VAE decode -> codec -> inverse mel
-    # -> Griffin-Lim in one jit (the reference did image -> PIL -> audio in
-    # two stages, server.py:145-163).
-    image, segment = pipeline.riffuse_audio(
-        inputs,
-        init_image=init_image,
-        mask_image=mask_image,
-        params=params,
-        apply_filters=True,
-    )
-
-    audio_bytes = io.BytesIO()
-    if _ffmpeg_path() is not None:
-        segment.export(audio_bytes, format="mp3")
-        audio_mime = "audio/mpeg"
+    if batcher is not None:
+        image, segment = batcher.submit(
+            inputs, init_image, mask_image, params,
+            seed_image_id=inputs.seed_image_id,
+            mask_image_id=inputs.mask_image_id,
+        )
     else:
-        segment.export(audio_bytes, format="wav")
-        audio_mime = "audio/wav"
+        # Fused device program: UNet denoise -> VAE decode -> codec ->
+        # inverse mel -> Griffin-Lim in one jit (the reference did image ->
+        # PIL -> audio in two stages, server.py:145-163).
+        image, segment = pipeline.riffuse_audio(
+            inputs,
+            init_image=init_image,
+            mask_image=mask_image,
+            params=params,
+            apply_filters=True,
+        )
 
-    image_bytes = io.BytesIO()
-    image.save(image_bytes, exif=image.getexif(), format="JPEG")
-    image_bytes.seek(0)
-
-    output = InferenceOutput(
-        image="data:image/jpeg;base64," + base64_util.encode(image_bytes),
-        audio=f"data:{audio_mime};base64," + base64_util.encode(audio_bytes),
-        duration_s=segment.duration_seconds,
-    )
-    return json.dumps(dataclasses.asdict(output))
+    return json.dumps(_encode_output(image, segment))
 
 
 def compute_batch_request(
@@ -116,28 +133,9 @@ def compute_batch_request(
     )
     results = pipeline.riffuse_audio_batch(inputs_list, init_image, params=params)
 
-    outputs = []
-    for image, segment in results:
-        audio_bytes = io.BytesIO()
-        if _ffmpeg_path() is not None:
-            segment.export(audio_bytes, format="mp3")
-            audio_mime = "audio/mpeg"
-        else:
-            segment.export(audio_bytes, format="wav")
-            audio_mime = "audio/wav"
-        image_bytes = io.BytesIO()
-        image.save(image_bytes, exif=image.getexif(), format="JPEG")
-        image_bytes.seek(0)
-        outputs.append(
-            dataclasses.asdict(
-                InferenceOutput(
-                    image="data:image/jpeg;base64," + base64_util.encode(image_bytes),
-                    audio=f"data:{audio_mime};base64," + base64_util.encode(audio_bytes),
-                    duration_s=segment.duration_seconds,
-                )
-            )
-        )
-    return json.dumps({"outputs": outputs})
+    return json.dumps(
+        {"outputs": [_encode_output(image, segment) for image, segment in results]}
+    )
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -187,6 +185,7 @@ class _Handler(BaseHTTPRequestHandler):
                 inputs=inputs,
                 seed_images_dir=self.server.seed_images_dir,  # type: ignore[attr-defined]
                 pipeline=PIPELINE,
+                batcher=getattr(self.server, "batcher", None),
             )
         logger.info(f"Request took {time.time() - start_time:.2f} s")
 
@@ -227,11 +226,20 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class RiffusionServer(HTTPServer):
-    """HTTPServer carrying the seed-image directory config."""
+    """HTTPServer carrying the seed-image directory config (single-threaded,
+    the reference's serving model)."""
 
     def __init__(self, addr, seed_images_dir: T.Union[str, Path] = SEED_IMAGES_DIR):
         super().__init__(addr, _Handler)
         self.seed_images_dir = seed_images_dir
+        self.batcher = None
+
+
+class RiffusionThreadingServer(ThreadingMixIn, RiffusionServer):
+    """Thread-per-connection front for dynamic batching: HTTP threads only
+    parse/encode; a single batcher worker owns the device (serving.py)."""
+
+    daemon_threads = True
 
 
 def run_app(
@@ -248,8 +256,15 @@ def run_app(
     scheduler: T.Optional[str] = None,
     warmup: bool = False,
     warmup_steps: int = 50,
+    dynamic_batching: bool = False,
+    batch_window_ms: float = 150.0,
+    max_batch: int = 8,
 ):
-    """Start the inference server (reference-compatible signature)."""
+    """Start the inference server (reference-compatible signature).
+
+    With dynamic_batching=True, concurrent /run_inference/ requests are
+    coalesced into one batched device program (serving.DynamicBatcher) —
+    aggregate throughput instead of the reference's one-at-a-time model."""
     logging.basicConfig(level=logging.INFO)
     logging.getLogger().addHandler(logging.FileHandler("server.log"))
 
@@ -294,7 +309,18 @@ def run_app(
         )
         logger.info("warmup complete")
 
-    server = RiffusionServer((host, port), seed_images_dir=seed_images_dir)
+    if dynamic_batching:
+        from riffusion_tpu.serving import DynamicBatcher
+
+        server = RiffusionThreadingServer((host, port), seed_images_dir=seed_images_dir)
+        server.batcher = DynamicBatcher(
+            PIPELINE, max_batch=max_batch, window_ms=batch_window_ms
+        )
+        logger.info(
+            f"dynamic batching on (window {batch_window_ms} ms, max {max_batch})"
+        )
+    else:
+        server = RiffusionServer((host, port), seed_images_dir=seed_images_dir)
     if ssl_certificate:
         import ssl
 
@@ -325,6 +351,10 @@ def main(argv: T.Optional[T.Sequence[str]] = None) -> None:
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile the standard request shape at startup")
     parser.add_argument("--warmup-steps", type=int, default=50)
+    parser.add_argument("--dynamic-batching", action="store_true",
+                        help="coalesce concurrent requests into batched device programs")
+    parser.add_argument("--batch-window-ms", type=float, default=150.0)
+    parser.add_argument("--max-batch", type=int, default=8)
     args = parser.parse_args(argv)
     run_app(
         checkpoint=args.checkpoint,
@@ -339,6 +369,9 @@ def main(argv: T.Optional[T.Sequence[str]] = None) -> None:
         scheduler=args.scheduler,
         warmup=args.warmup,
         warmup_steps=args.warmup_steps,
+        dynamic_batching=args.dynamic_batching,
+        batch_window_ms=args.batch_window_ms,
+        max_batch=args.max_batch,
     )
 
 

@@ -1,0 +1,207 @@
+"""
+Dynamic request batching for the inference server.
+
+The reference serves one request at a time on one GPU (Flask with
+`threaded=False`, reference riffusion/server.py:63). On TPU, the batched
+program (`RiffusionPipeline.riffuse_audio_batch`) delivers substantially more
+aggregate throughput than back-to-back singles, so this module adds the
+standard production-serving pattern between the HTTP layer and the device:
+concurrent requests queue up, a single device-owner thread coalesces them
+into one batched program call, and every caller gets its own result back.
+
+Design notes (TPU-shaped):
+- One worker thread owns the device; HTTP threads only enqueue + wait. XLA
+  programs are not re-entrant-friendly under Python threading, and a single
+  dispatch stream keeps the TPU busy without lock contention.
+- Batch sizes are bucketed (1/2/4/8/...): each size is a separate XLA
+  compilation, so arbitrary sizes would compile-storm the cache. Short
+  batches are padded up to the bucket by repeating the tail request —
+  wasted FLOPs are bounded by 2x and only on partially-filled buckets.
+- Only requests with the same static program signature batch together
+  (seed image, step count, strength bucket, no mask): those are the shapes/
+  constants baked into the compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+import typing as T
+from pathlib import Path
+
+import PIL.Image
+
+from riffusion_tpu.datatypes import InferenceInput
+
+if T.TYPE_CHECKING:  # pragma: no cover
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+
+
+@dataclasses.dataclass
+class _Pending:
+    inputs: InferenceInput
+    group_key: T.Tuple
+    init_image: PIL.Image.Image
+    mask_image: T.Optional[PIL.Image.Image]
+    params: T.Any
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    result: T.Any = None
+    error: T.Optional[BaseException] = None
+
+
+def _strength(inputs: InferenceInput) -> float:
+    a = float(inputs.alpha)
+    return (1.0 - a) * inputs.start.denoising + a * inputs.end.denoising
+
+
+class DynamicBatcher:
+    """Coalesce concurrent riffuse requests into batched device programs."""
+
+    def __init__(
+        self,
+        pipeline: "RiffusionPipeline",
+        max_batch: int = 8,
+        window_ms: float = 150.0,
+        buckets: T.Sequence[int] = (1, 2, 4, 8, 16),
+    ):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.buckets = sorted(buckets)
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        # counters for tests/metrics: program launches vs requests served
+        self.stats = {"requests": 0, "launches": 0, "batched_requests": 0,
+                      "padded_slots": 0}
+        self._worker = threading.Thread(
+            target=self._run, name="riffusion-batcher", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------------ API
+
+    def submit(
+        self,
+        inputs: InferenceInput,
+        init_image: PIL.Image.Image,
+        mask_image: T.Optional[PIL.Image.Image],
+        params,
+        seed_image_id: str,
+        mask_image_id: T.Optional[str],
+    ):
+        """Enqueue one request and block until its (image, segment) is ready."""
+        # Masked requests and odd strengths still flow through the same
+        # worker (device serialization), they just never share a batch.
+        batchable = mask_image is None
+        key = (
+            seed_image_id,
+            mask_image_id,
+            inputs.num_inference_steps,
+            round(_strength(inputs), 3),
+            batchable,
+        )
+        item = _Pending(inputs, key, init_image, mask_image, params)
+        self._q.put(item)
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def shutdown(self, timeout: float = 5.0) -> None:
+        self._stop.set()
+        self._q.put(None)  # type: ignore[arg-type]  # wake the worker
+        self._worker.join(timeout)
+
+    # --------------------------------------------------------------- worker
+
+    def _collect(self, first: _Pending) -> T.List[_Pending]:
+        """Gather more requests for up to window_ms (or until max_batch)."""
+        batch = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            batch = self._collect(first)
+            # group by static program signature, preserving arrival order
+            groups: T.Dict[T.Tuple, T.List[_Pending]] = {}
+            for item in batch:
+                groups.setdefault(item.group_key, []).append(item)
+            for key, items in groups.items():
+                self._execute(key, items)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _execute(self, key: T.Tuple, items: T.List[_Pending]) -> None:
+        batchable = key[-1]
+        try:
+            if not batchable or len(items) == 1:
+                for item in items:
+                    image, segment = self.pipeline.riffuse_audio(
+                        item.inputs,
+                        init_image=item.init_image,
+                        mask_image=item.mask_image,
+                        params=item.params,
+                        apply_filters=True,
+                    )
+                    item.result = (image, segment)
+                    self.stats["requests"] += 1
+                    self.stats["launches"] += 1
+                    item.done.set()
+                return
+
+            n = len(items)
+            size = self._bucket(n)
+            inputs_list = [i.inputs for i in items]
+            # pad to the compiled bucket size by repeating the tail request
+            inputs_list += [items[-1].inputs] * (size - n)
+            results = self.pipeline.riffuse_audio_batch(
+                inputs_list,
+                init_image=items[0].init_image,
+                params=items[0].params,
+                apply_filters=True,
+            )
+            for item, result in zip(items, results):
+                item.result = result
+                item.done.set()
+            self.stats["requests"] += n
+            self.stats["batched_requests"] += n
+            self.stats["launches"] += 1
+            self.stats["padded_slots"] += size - n
+        except BaseException as e:  # propagate to every waiter, keep serving
+            for item in items:
+                if not item.done.is_set():
+                    item.error = e
+                    item.done.set()
+
+
+def load_seed_image(
+    seed_images_dir: T.Union[str, Path], image_id: str
+) -> T.Optional[PIL.Image.Image]:
+    path = Path(seed_images_dir, f"{image_id}.png")
+    if not path.is_file():
+        return None
+    return PIL.Image.open(str(path)).convert("RGB")

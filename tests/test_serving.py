@@ -1,0 +1,236 @@
+"""Dynamic request batching (serving.DynamicBatcher): coalescing, grouping,
+bucket padding, error propagation — against a fake pipeline (no device work)
+— plus one live-socket test of the threaded server with batching enabled."""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from riffusion_tpu.datatypes import InferenceInput, PromptInput
+from riffusion_tpu.serving import DynamicBatcher
+from riffusion_tpu.spectrogram_params import SpectrogramParams
+
+
+class FakePipeline:
+    """Records batch sizes; returns distinguishable results per request."""
+
+    def __init__(self, delay: float = 0.0, fail: bool = False):
+        self.calls = []
+        self.delay = delay
+        self.fail = fail
+
+    def _result(self, inputs):
+        img = PIL.Image.new("RGB", (8, 8), color=(inputs.start.seed % 256, 0, 0))
+        return img, f"segment-for-seed-{inputs.start.seed}"
+
+    def riffuse_audio(self, inputs, init_image, mask_image=None, params=None,
+                      apply_filters=True):
+        if self.fail:
+            raise RuntimeError("device on fire")
+        self.calls.append(1)
+        time.sleep(self.delay)
+        return self._result(inputs)
+
+    def riffuse_audio_batch(self, inputs_list, init_image, params=None,
+                            apply_filters=True):
+        if self.fail:
+            raise RuntimeError("device on fire")
+        self.calls.append(len(inputs_list))
+        time.sleep(self.delay)
+        return [self._result(i) for i in inputs_list]
+
+
+def _inp(seed: int, steps: int = 5, mask: str = "") -> InferenceInput:
+    return InferenceInput(
+        start=PromptInput(prompt="a", seed=seed),
+        end=PromptInput(prompt="b", seed=seed + 1),
+        alpha=0.5,
+        num_inference_steps=steps,
+        mask_image_id=mask or None,
+    )
+
+
+IMG = PIL.Image.new("RGB", (8, 8))
+PARAMS = SpectrogramParams()
+
+
+def _submit_many(batcher, reqs, mask_images=None):
+    results = [None] * len(reqs)
+    errors = [None] * len(reqs)
+
+    def call(i):
+        try:
+            results[i] = batcher.submit(
+                reqs[i], IMG, (mask_images or {}).get(i), PARAMS,
+                seed_image_id="og_beat",
+                mask_image_id=reqs[i].mask_image_id,
+            )
+        except BaseException as e:  # noqa: BLE001 - test captures
+            errors[i] = e
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    return results, errors
+
+
+def test_concurrent_requests_coalesce_into_one_batch():
+    pipe = FakePipeline()
+    batcher = DynamicBatcher(pipe, max_batch=8, window_ms=300)
+    try:
+        reqs = [_inp(seed=i) for i in range(4)]
+        results, errors = _submit_many(batcher, reqs)
+        assert all(e is None for e in errors)
+        # each caller got ITS result back (not a neighbor's)
+        for i, (img, seg) in enumerate(results):
+            assert seg == f"segment-for-seed-{i}"
+        # one batched launch, padded 4 -> bucket 4 (no padding needed)
+        assert pipe.calls == [4]
+        assert batcher.stats["launches"] == 1
+        assert batcher.stats["batched_requests"] == 4
+        assert batcher.stats["padded_slots"] == 0
+    finally:
+        batcher.shutdown()
+
+
+def test_bucket_padding():
+    pipe = FakePipeline()
+    batcher = DynamicBatcher(pipe, max_batch=8, window_ms=300, buckets=(1, 2, 4, 8))
+    try:
+        reqs = [_inp(seed=i) for i in range(3)]  # 3 -> bucket 4
+        results, errors = _submit_many(batcher, reqs)
+        assert all(e is None for e in errors)
+        assert pipe.calls == [4]
+        assert batcher.stats["padded_slots"] == 1
+    finally:
+        batcher.shutdown()
+
+
+def test_mixed_signatures_grouped_separately():
+    pipe = FakePipeline()
+    batcher = DynamicBatcher(pipe, max_batch=8, window_ms=300)
+    try:
+        # two step counts -> two groups -> two launches
+        reqs = [_inp(seed=0, steps=5), _inp(seed=1, steps=5),
+                _inp(seed=2, steps=9), _inp(seed=3, steps=9)]
+        results, errors = _submit_many(batcher, reqs)
+        assert all(e is None for e in errors)
+        assert sorted(pipe.calls) == [2, 2]
+        for i, (img, seg) in enumerate(results):
+            assert seg == f"segment-for-seed-{i}"
+    finally:
+        batcher.shutdown()
+
+
+def test_masked_requests_never_batch():
+    pipe = FakePipeline()
+    batcher = DynamicBatcher(pipe, max_batch=8, window_ms=300)
+    try:
+        reqs = [_inp(seed=0, mask="mask_top_third"), _inp(seed=1, mask="mask_top_third")]
+        masks = {0: PIL.Image.new("RGB", (8, 8)), 1: PIL.Image.new("RGB", (8, 8))}
+        results, errors = _submit_many(batcher, reqs, mask_images=masks)
+        assert all(e is None for e in errors)
+        assert pipe.calls == [1, 1]  # singles through riffuse_audio
+    finally:
+        batcher.shutdown()
+
+
+def test_single_request_uses_single_program():
+    pipe = FakePipeline()
+    batcher = DynamicBatcher(pipe, max_batch=8, window_ms=50)
+    try:
+        img, seg = batcher.submit(_inp(seed=7), IMG, None, PARAMS,
+                                  seed_image_id="og_beat", mask_image_id=None)
+        assert seg == "segment-for-seed-7"
+        assert pipe.calls == [1]
+    finally:
+        batcher.shutdown()
+
+
+def test_errors_propagate_to_all_waiters_and_worker_survives():
+    pipe = FakePipeline(fail=True)
+    batcher = DynamicBatcher(pipe, max_batch=8, window_ms=200)
+    try:
+        reqs = [_inp(seed=i) for i in range(2)]
+        results, errors = _submit_many(batcher, reqs)
+        assert all(isinstance(e, RuntimeError) for e in errors)
+        # worker still alive and serving after the failure
+        pipe.fail = False
+        img, seg = batcher.submit(_inp(seed=5), IMG, None, PARAMS,
+                                  seed_image_id="og_beat", mask_image_id=None)
+        assert seg == "segment-for-seed-5"
+    finally:
+        batcher.shutdown()
+
+
+# ----------------------------------------------------------- live socket
+
+
+@pytest.fixture(scope="module")
+def batching_server():
+    """Threaded server with dynamic batching on the tiny random model."""
+    import riffusion_tpu.server as srv
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+    from riffusion_tpu.serving import DynamicBatcher
+
+    srv.PIPELINE = RiffusionPipeline.load_checkpoint("random:tiny", device="cpu")
+    server = srv.RiffusionThreadingServer(("127.0.0.1", 0))
+    server.batcher = DynamicBatcher(srv.PIPELINE, max_batch=4, window_ms=400)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield server, server.server_address[1]
+    server.batcher.shutdown()
+    server.shutdown()
+
+
+def _post(port, body, timeout=300):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/run_inference/",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_live_concurrent_requests_batched(batching_server):
+    server, port = batching_server
+    body = {
+        "start": {"prompt": "piano", "seed": 1},
+        "end": {"prompt": "piano", "seed": 2},
+        "alpha": 0.0,
+        "num_inference_steps": 2,
+        "seed_image_id": "og_beat",
+    }
+    # warm the single path (compiles the n=2-bucket lazily below)
+    outs = [None, None]
+
+    def call(i):
+        b = dict(body)
+        b["start"] = {"prompt": "piano", "seed": 1 + i}
+        outs[i] = _post(port, b)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+
+    for status, payload in outs:
+        assert status == 200
+        assert payload["image"].startswith("data:image/jpeg;base64,")
+        assert payload["audio"].startswith("data:audio/")
+        assert payload["duration_s"] > 1.0
+    stats = server.batcher.stats
+    assert stats["requests"] >= 2
+    # the two concurrent requests shared one device launch
+    assert stats["batched_requests"] >= 2
+    assert stats["launches"] < stats["requests"]
