@@ -106,6 +106,11 @@ ATTENTION_IMPL = _os.environ.get("RIFFUSION_TPU_ATTENTION", "flash")
 #   b=16 (batch-8 serving): hybrid 116.8 ms ~= einsum-only 118.8 ms
 #   b=32 (batch-16 serving): hybrid 238.7 ms vs flash-everywhere 280.2 ms
 #        vs einsum-only 244.9 ms  (= 14.9 ms per clip CFG pair)
+# benchmarks/attn_sweep.py round-2 confirmation at b=32 (one concurrent CPU
+# job, so ~10% above the solo numbers): hybrid 262.8, einsum-cast-bf16 257.3,
+# einsum-window>=1024 260.7, flash-512 290.0, flash-256 390.3; flash blocks
+# >=1024 exhaust VMEM. The einsum variants are within noise of each other —
+# the hybrid default stands, with fp32 softmax kept for accuracy.
 # Hybrid = einsum at self-attention sites with seq >= 2048 when b > 8; flash
 # elsewhere; head_dim 160 (1280-ch blocks) always einsum (pad-to-256 flash is
 # 2x faster in isolation but neutral-to-worse in context).

@@ -545,6 +545,7 @@ class RiffusionPipeline:
         self, scheduler: str, num_steps: int, t_start: int, noise_timestep: int,
         height: int, width: int, seq_len: int, batch: int,
         fused_params: T.Optional[SpectrogramParams],
+        mesh: T.Optional[jax.sharding.Mesh] = None,
     ):
         """Batched variant of the riffuse program: N independent requests
         (prompts/seeds/alphas) in one device program (the CFG UNet runs at
@@ -629,7 +630,40 @@ class RiffusionPipeline:
             )  # (N*C, samples)
             return images_u8, _waveform_to_int16(waveforms.reshape(n, c, -1))
 
+        if mesh is not None:
+            # Data-parallel serving over the mesh: every batch-axis operand is
+            # sharded on the 'data' axis, params/DSP constants replicated; XLA
+            # partitions the whole program (N chips denoise N requests in the
+            # wall-clock of one). Mapping: SURVEY.md §2.2 — the reference has
+            # no distributed backend at all; this is the ICI-native extension
+            # of its batch loop.
+            data = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data")
+            )
+            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            return jax.jit(
+                program,
+                # (unet_params, vae_params, text_emb, init_image, keys,
+                #  alphas, guidances, dsp_consts)
+                in_shardings=(rep, rep, data, rep, data, data, data, rep),
+                out_shardings=(data, data),
+            )
         return jax.jit(program, device=self._jax_device)
+
+    def _replicated_state(self, mesh: jax.sharding.Mesh, params: SpectrogramParams):
+        """Params + DSP consts replicated over the mesh, cached per mesh (the
+        bulk copy happens once, not per batched call)."""
+        cache = self.__dict__.setdefault("_replicated_cache", {})
+        key = (id(mesh), params)
+        if key not in cache:
+            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            put = functools.partial(jax.device_put, device=rep)
+            cache[key] = (
+                jax.tree.map(put, self.unet_params),
+                jax.tree.map(put, self.vae_params),
+                jax.tree.map(put, self.converter(params).device_consts),
+            )
+        return cache[key]
 
     def riffuse_audio_batch(
         self,
@@ -638,12 +672,20 @@ class RiffusionPipeline:
         params: T.Optional[SpectrogramParams] = None,
         use_reweighting: bool = True,
         apply_filters: bool = True,
+        mesh: T.Optional[jax.sharding.Mesh] = None,
     ) -> T.List[T.Tuple[Image.Image, AudioSegment]]:
         """Run N riffuse requests as one batched device program. All requests
         must share num_inference_steps and (approximately) denoising strength
-        (the scheduler suffix is compiled per strength bucket)."""
+        (the scheduler suffix is compiled per strength bucket).
+
+        With `mesh` (axis name 'data'), the batch is sharded data-parallel
+        across the mesh devices — multi-chip serving with one program. N must
+        be a multiple of the 'data' axis size."""
         params = params or SpectrogramParams()
         n = len(inputs_list)
+        if mesh is not None:
+            d = mesh.shape["data"]
+            assert n % d == 0, f"batch {n} not divisible by data axis {d}"
         steps = {i.num_inference_steps for i in inputs_list}
         assert len(steps) == 1, "batch requires a single num_inference_steps"
         num_steps = steps.pop()
@@ -690,14 +732,30 @@ class RiffusionPipeline:
 
         program = self._riffuse_batch_program(
             self.bundle.scheduler_name, num_steps, t_start, noise_timestep,
-            height, width, int(seq), n, params,
+            height, width, int(seq), n, params, mesh,
         )
-        images_u8, waveforms = program(
-            self.unet_params, self.vae_params, text_emb, jnp.asarray(image_arr),
-            jnp.stack(keys), jnp.asarray(alphas, jnp.float32),
-            jnp.asarray(guidances, jnp.float32),
-            self.converter(params).device_consts,
-        )
+        if mesh is None:
+            images_u8, waveforms = program(
+                self.unet_params, self.vae_params, text_emb, jnp.asarray(image_arr),
+                jnp.stack(keys), jnp.asarray(alphas, jnp.float32),
+                jnp.asarray(guidances, jnp.float32),
+                self.converter(params).device_consts,
+            )
+        else:
+            # args arrive committed to one device; lay them out on the mesh
+            # explicitly (jit will not silently re-shard committed arrays)
+            data = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+            rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            u_rep, v_rep, c_rep = self._replicated_state(mesh, params)
+            images_u8, waveforms = program(
+                u_rep, v_rep,
+                jax.device_put(text_emb, data),
+                jax.device_put(jnp.asarray(image_arr), rep),
+                jax.device_put(jnp.stack(keys), data),
+                jax.device_put(jnp.asarray(alphas, jnp.float32), data),
+                jax.device_put(jnp.asarray(guidances, jnp.float32), data),
+                c_rep,
+            )
         # one batched readback: per-item np.asarray would pay the device
         # round-trip latency 2N times (seconds over a remote-TPU relay)
         images_np, waveforms_np = jax.device_get((images_u8, waveforms))

@@ -55,3 +55,37 @@ def test_batch_requires_uniform_steps(pipe):
     init = Image.new("RGB", (64, 64))
     with pytest.raises(AssertionError):
         pipe.riffuse_audio_batch([_req(0, steps=3), _req(1, steps=4)], init)
+
+
+def test_sharded_batch_matches_unsharded(pipe):
+    """riffuse_audio_batch(mesh=...) shards the batch over the mesh 'data'
+    axis; results must match the single-device batch program bit-for-bit
+    up to uint8 rounding (multi-chip serving path, SURVEY.md §2.2)."""
+    import jax
+
+    from riffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    rng = np.random.default_rng(2)
+    init = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    params = SpectrogramParams(num_frequencies=64)
+    reqs = [_req(i) for i in range(4)]
+
+    plain = pipe.riffuse_audio_batch(reqs, init, params=params)
+    sharded = pipe.riffuse_audio_batch(reqs, init, params=params, mesh=mesh)
+    assert len(sharded) == 4
+    for (img_p, seg_p), (img_s, seg_s) in zip(plain, sharded):
+        diff = np.abs(
+            np.array(img_p).astype(np.int16) - np.array(img_s).astype(np.int16)
+        )
+        assert diff.max() <= 2, f"max pixel diff {diff.max()}"
+        assert seg_s.duration_seconds == pytest.approx(seg_p.duration_seconds)
+
+
+def test_sharded_batch_requires_divisible_batch(pipe):
+    from riffusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    init = Image.new("RGB", (64, 64))
+    with pytest.raises(AssertionError):
+        pipe.riffuse_audio_batch([_req(i) for i in range(3)], init, mesh=mesh)
