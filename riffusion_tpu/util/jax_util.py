@@ -45,7 +45,11 @@ def enable_persistent_compilation_cache(path: T.Optional[str] = None) -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # persist even sub-second programs: a serving process compiles dozens
+        # of small helpers (threefry, convert_element_type, embeds) at ~0.4 s
+        # each over the remote-compile relay; re-paying them on every restart
+        # costs more than the cache files do
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _cache_enabled = True
     except Exception as e:  # cache is an optimization, never fatal
