@@ -156,6 +156,22 @@ class _Handler(BaseHTTPRequestHandler):
     def do_OPTIONS(self):  # noqa: N802 - http.server naming
         self._send(204, b"")
 
+    def do_GET(self):  # noqa: N802
+        """Observability endpoints (no reference equivalent): /health for
+        load balancers, /stats for request/batching counters."""
+        route = self.path.rstrip("/")
+        if route == "/health":
+            body = {"status": "ok", "model_loaded": PIPELINE is not None}
+            self._send(200, json.dumps(body).encode())
+        elif route == "/stats":
+            stats = dict(getattr(self.server, "request_stats", {}))
+            batcher = getattr(self.server, "batcher", None)
+            if batcher is not None:
+                stats["batching"] = dict(batcher.stats)
+            self._send(200, json.dumps(stats).encode())
+        else:
+            self._send(404, b"Not found", "text/plain")
+
     def do_POST(self):  # noqa: N802
         route = self.path.rstrip("/")
         if route not in ("/run_inference", "/run_inference_batch"):
@@ -187,7 +203,11 @@ class _Handler(BaseHTTPRequestHandler):
                 pipeline=PIPELINE,
                 batcher=getattr(self.server, "batcher", None),
             )
-        logger.info(f"Request took {time.time() - start_time:.2f} s")
+        elapsed = time.time() - start_time
+        logger.info(f"Request took {elapsed:.2f} s")
+        stats = self.server.request_stats  # type: ignore[attr-defined]
+        stats["requests"] = stats.get("requests", 0) + 1
+        stats["total_seconds"] = round(stats.get("total_seconds", 0.0) + elapsed, 3)
 
         if isinstance(result, tuple):
             body, status = result
@@ -233,6 +253,7 @@ class RiffusionServer(HTTPServer):
         super().__init__(addr, _Handler)
         self.seed_images_dir = seed_images_dir
         self.batcher = None
+        self.request_stats: T.Dict[str, T.Any] = {}
 
 
 class RiffusionThreadingServer(ThreadingMixIn, RiffusionServer):

@@ -148,3 +148,25 @@ def test_cors_preflight(running_server):
     req = urllib.request.Request(running_server + "/run_inference/", method="OPTIONS")
     resp = urllib.request.urlopen(req, timeout=30)
     assert resp.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_health_and_stats_endpoints(running_server):
+    """GET /health for load balancers; GET /stats exposes request counters
+    (and batching counters when dynamic batching is on)."""
+    with urllib.request.urlopen(running_server + "/health", timeout=30) as r:
+        body = json.loads(r.read())
+    assert r.status == 200
+    assert body["status"] == "ok"
+    assert body["model_loaded"] is True
+
+    with urllib.request.urlopen(running_server + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert r.status == 200
+    assert isinstance(stats, dict)
+
+    # unknown GET routes 404
+    try:
+        urllib.request.urlopen(running_server + "/nope", timeout=30)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
