@@ -673,10 +673,19 @@ class RiffusionPipeline:
         use_reweighting: bool = True,
         apply_filters: bool = True,
         mesh: T.Optional[jax.sharding.Mesh] = None,
-    ) -> T.List[T.Tuple[Image.Image, AudioSegment]]:
+        async_dispatch: bool = False,
+    ) -> T.Union[
+        T.List[T.Tuple[Image.Image, AudioSegment]],
+        T.Callable[[], T.List[T.Tuple[Image.Image, AudioSegment]]],
+    ]:
         """Run N riffuse requests as one batched device program. All requests
         must share num_inference_steps and (approximately) denoising strength
         (the scheduler suffix is compiled per strength bucket).
+
+        With async_dispatch=True, returns a zero-arg `finalize` callable
+        instead of results: the device program is dispatched (async) and
+        finalize() blocks on the readback — callers can overlap the next
+        batch's host work with this batch's device time.
 
         With `mesh` (axis name 'data'), the batch is sharded data-parallel
         across the mesh devices — multi-chip serving with one program. N must
@@ -756,18 +765,26 @@ class RiffusionPipeline:
                 jax.device_put(jnp.asarray(guidances, jnp.float32), data),
                 c_rep,
             )
-        # one batched readback: per-item np.asarray would pay the device
-        # round-trip latency 2N times (seconds over a remote-TPU relay)
-        images_np, waveforms_np = jax.device_get((images_u8, waveforms))
-        results = []
-        for i in range(n):
-            image = Image.fromarray(images_np[i], mode="RGB")
-            # int16 peak-normalized on device; (C, samples) -> (samples, C)
-            segment = AudioSegment(waveforms_np[i].T, params.sample_rate)
-            if apply_filters:
-                segment = audio_util.apply_filters(segment, compression=False)
-            results.append((image, segment))
-        return results
+        def finalize() -> T.List[T.Tuple[Image.Image, AudioSegment]]:
+            # one batched readback: per-item np.asarray would pay the device
+            # round-trip latency 2N times (seconds over a remote-TPU relay)
+            images_np, waveforms_np = jax.device_get((images_u8, waveforms))
+            results = []
+            for i in range(n):
+                image = Image.fromarray(images_np[i], mode="RGB")
+                # int16 peak-normalized on device; (C, samples) -> (samples, C)
+                segment = AudioSegment(waveforms_np[i].T, params.sample_rate)
+                if apply_filters:
+                    segment = audio_util.apply_filters(segment, compression=False)
+                results.append((image, segment))
+            return results
+
+        if async_dispatch:
+            # device work is already in flight (JAX async dispatch); the
+            # caller overlaps the readback + host post-processing with its
+            # next dispatch (serving.DynamicBatcher pipelines batches this way)
+            return finalize
+        return finalize()
 
     # ------------------------------------------------------------- magic mix
 

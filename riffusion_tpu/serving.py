@@ -74,7 +74,16 @@ class DynamicBatcher:
         self._stop = threading.Event()
         # counters for tests/metrics: program launches vs requests served
         self.stats = {"requests": 0, "launches": 0, "batched_requests": 0,
-                      "padded_slots": 0}
+                      "padded_slots": 0, "pipelined_finalizes": 0}
+        # completion queue: the worker dispatches a batch (async) and hands
+        # the readback+post-processing here, so batch N+1's collection and
+        # dispatch overlap batch N's device time (double buffering — worth
+        # ~1 s per batch over a remote-TPU relay)
+        self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._finalizer = threading.Thread(
+            target=self._finalize_loop, name="riffusion-finalizer", daemon=True
+        )
+        self._finalizer.start()
         self._worker = threading.Thread(
             target=self._run, name="riffusion-batcher", daemon=True
         )
@@ -112,7 +121,9 @@ class DynamicBatcher:
     def shutdown(self, timeout: float = 5.0) -> None:
         self._stop.set()
         self._q.put(None)  # type: ignore[arg-type]  # wake the worker
+        self._done_q.put(None)  # wake the finalizer
         self._worker.join(timeout)
+        self._finalizer.join(timeout)
 
     # --------------------------------------------------------------- worker
 
@@ -178,24 +189,50 @@ class DynamicBatcher:
             inputs_list = [i.inputs for i in items]
             # pad to the compiled bucket size by repeating the tail request
             inputs_list += [items[-1].inputs] * (size - n)
-            results = self.pipeline.riffuse_audio_batch(
+            out = self.pipeline.riffuse_audio_batch(
                 inputs_list,
                 init_image=items[0].init_image,
                 params=items[0].params,
                 apply_filters=True,
+                async_dispatch=True,
             )
-            for item, result in zip(items, results):
-                item.result = result
-                item.done.set()
             self.stats["requests"] += n
             self.stats["batched_requests"] += n
             self.stats["launches"] += 1
             self.stats["padded_slots"] += size - n
+            if callable(out):
+                # device program in flight: queue the readback so the worker
+                # can collect + dispatch the next batch concurrently (the
+                # bounded queue applies back-pressure at 2 batches in flight)
+                self._done_q.put((out, items))
+            else:  # pipeline without async support (e.g. test fakes)
+                self._distribute(out, items)
         except BaseException as e:  # propagate to every waiter, keep serving
             for item in items:
                 if not item.done.is_set():
                     item.error = e
                     item.done.set()
+
+    @staticmethod
+    def _distribute(results, items) -> None:
+        for item, result in zip(items, results):
+            item.result = result
+            item.done.set()
+
+    def _finalize_loop(self) -> None:
+        while True:
+            job = self._done_q.get()
+            if job is None:
+                return
+            finalize, items = job
+            try:
+                self._distribute(finalize(), items)
+                self.stats["pipelined_finalizes"] += 1
+            except BaseException as e:
+                for item in items:
+                    if not item.done.is_set():
+                        item.error = e
+                        item.done.set()
 
 
 def load_seed_image(

@@ -38,12 +38,15 @@ class FakePipeline:
         return self._result(inputs)
 
     def riffuse_audio_batch(self, inputs_list, init_image, params=None,
-                            apply_filters=True):
+                            apply_filters=True, async_dispatch=False):
         if self.fail:
             raise RuntimeError("device on fire")
         self.calls.append(len(inputs_list))
         time.sleep(self.delay)
-        return [self._result(i) for i in inputs_list]
+        results = [self._result(i) for i in inputs_list]
+        if async_dispatch:
+            return lambda: results  # exercise the pipelined finalize path
+        return results
 
 
 def _inp(seed: int, steps: int = 5, mask: str = "") -> InferenceInput:
@@ -97,6 +100,7 @@ def test_concurrent_requests_coalesce_into_one_batch():
         assert batcher.stats["launches"] == 1
         assert batcher.stats["batched_requests"] == 4
         assert batcher.stats["padded_slots"] == 0
+        assert batcher.stats["pipelined_finalizes"] == 1
     finally:
         batcher.shutdown()
 
