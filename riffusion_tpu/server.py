@@ -328,6 +328,24 @@ def run_app(
             init_image=init,
             params=params,
         )
+        if dynamic_batching:
+            # with batching on, concurrent traffic lands on the bucketed
+            # batch programs — pre-compile those shapes too so the first
+            # burst is fast (compiles persist via the on-disk cache)
+            for size in (2, 4, 8):
+                if size > max_batch:
+                    break
+                logger.info(f"warmup: compiling the batch-{size} program...")
+                reqs = [
+                    InferenceInput(
+                        start=PromptInput(prompt="warmup", seed=i),
+                        end=PromptInput(prompt="warmup", seed=100 + i),
+                        alpha=0.5,
+                        num_inference_steps=warmup_steps,
+                    )
+                    for i in range(size)
+                ]
+                PIPELINE.riffuse_audio_batch(reqs, init, params=params)
         logger.info("warmup complete")
 
     if dynamic_batching:
