@@ -159,3 +159,41 @@ class FrameSweep:
             jnp.asarray(alphas_padded), jnp.asarray(guidances.astype(np.float32)), keys,
         )
         return np.asarray(frames)[:n]
+
+
+def dryrun_serving_batch(n_devices: int) -> int:
+    """Mesh-sharded batched serving on tiny shapes: one riffuse_audio_batch
+    over a (data, model) mesh with the batch sharded on 'data'. Used by
+    __graft_entry__.dryrun_multichip to validate the inference sharding path
+    alongside the training step."""
+    from PIL import Image
+
+    from riffusion_tpu.datatypes import InferenceInput, PromptInput
+    from riffusion_tpu.parallel.mesh import factor_mesh_shape, make_mesh
+    from riffusion_tpu.spectrogram_params import SpectrogramParams
+
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}"
+    )
+    mesh = make_mesh(
+        factor_mesh_shape(n_devices, 2), ("data", "model"), devices=devices
+    )
+    pipe = RiffusionPipeline.load_checkpoint("random:tiny")
+    rng = np.random.default_rng(0)
+    init = Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    n = mesh.shape["data"]
+    reqs = [
+        InferenceInput(
+            start=PromptInput(prompt=f"style {i}", seed=i),
+            end=PromptInput(prompt="target", seed=100 + i),
+            alpha=0.1 * i,
+            num_inference_steps=2,
+        )
+        for i in range(n)
+    ]
+    results = pipe.riffuse_audio_batch(
+        reqs, init, params=SpectrogramParams(num_frequencies=64), mesh=mesh
+    )
+    assert len(results) == n
+    return n
