@@ -654,7 +654,8 @@ class RiffusionPipeline:
         """Params + DSP consts replicated over the mesh, cached per mesh (the
         bulk copy happens once, not per batched call)."""
         cache = self.__dict__.setdefault("_replicated_cache", {})
-        key = (id(mesh), params)
+        # Mesh is hashable; id() would be unsafe (reusable after gc)
+        key = (mesh, params)
         if key not in cache:
             rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
             put = functools.partial(jax.device_put, device=rep)

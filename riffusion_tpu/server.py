@@ -19,6 +19,7 @@ import dataclasses
 import io
 import json
 import logging
+import threading
 import time
 import typing as T
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -205,9 +206,10 @@ class _Handler(BaseHTTPRequestHandler):
             )
         elapsed = time.time() - start_time
         logger.info(f"Request took {elapsed:.2f} s")
-        stats = self.server.request_stats  # type: ignore[attr-defined]
-        stats["requests"] = stats.get("requests", 0) + 1
-        stats["total_seconds"] = round(stats.get("total_seconds", 0.0) + elapsed, 3)
+        with self.server.stats_lock:  # type: ignore[attr-defined]
+            stats = self.server.request_stats  # type: ignore[attr-defined]
+            stats["requests"] = stats.get("requests", 0) + 1
+            stats["total_seconds"] = round(stats.get("total_seconds", 0.0) + elapsed, 3)
 
         if isinstance(result, tuple):
             body, status = result
@@ -254,6 +256,7 @@ class RiffusionServer(HTTPServer):
         self.seed_images_dir = seed_images_dir
         self.batcher = None
         self.request_stats: T.Dict[str, T.Any] = {}
+        self.stats_lock = threading.Lock()  # handler threads under ThreadingMixIn
 
 
 class RiffusionThreadingServer(ThreadingMixIn, RiffusionServer):

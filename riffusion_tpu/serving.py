@@ -73,8 +73,10 @@ class DynamicBatcher:
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         # counters for tests/metrics: program launches vs requests served
+        # (updated from both the worker and finalizer threads, hence the lock)
         self.stats = {"requests": 0, "launches": 0, "batched_requests": 0,
                       "padded_slots": 0, "pipelined_finalizes": 0}
+        self._stats_lock = threading.Lock()
         # completion queue: the worker dispatches a batch (async) and hands
         # the readback+post-processing here, so batch N+1's collection and
         # dispatch overlap batch N's device time (double buffering — worth
@@ -179,8 +181,7 @@ class DynamicBatcher:
                         apply_filters=True,
                     )
                     item.result = (image, segment)
-                    self.stats["requests"] += 1
-                    self.stats["launches"] += 1
+                    self._bump(requests=1, launches=1)
                     item.done.set()
                 return
 
@@ -196,10 +197,8 @@ class DynamicBatcher:
                 apply_filters=True,
                 async_dispatch=True,
             )
-            self.stats["requests"] += n
-            self.stats["batched_requests"] += n
-            self.stats["launches"] += 1
-            self.stats["padded_slots"] += size - n
+            self._bump(requests=n, batched_requests=n, launches=1,
+                       padded_slots=size - n)
             if callable(out):
                 # device program in flight: queue the readback so the worker
                 # can collect + dispatch the next batch concurrently (the
@@ -212,6 +211,11 @@ class DynamicBatcher:
                 if not item.done.is_set():
                     item.error = e
                     item.done.set()
+
+    def _bump(self, **deltas: int) -> None:
+        with self._stats_lock:
+            for k, v in deltas.items():
+                self.stats[k] += v
 
     @staticmethod
     def _distribute(results, items) -> None:
@@ -227,7 +231,7 @@ class DynamicBatcher:
             finalize, items = job
             try:
                 self._distribute(finalize(), items)
-                self.stats["pipelined_finalizes"] += 1
+                self._bump(pipelined_finalizes=1)
             except BaseException as e:
                 for item in items:
                     if not item.done.is_set():
