@@ -143,3 +143,51 @@ def test_general_layout_fallback():
         )
     )[0]
     np.testing.assert_allclose(got_wav, wav_rt, atol=2e-3, rtol=0)
+
+
+@pytest.mark.parametrize("bins,frames,rolled", [(512, 128, True), (500, 128, False)])
+def test_griffin_lim_rolled_matches_unrolled(bins, frames, rolled):
+    """griffin_lim takes a lax.fori_loop when both trailing spectrum dims are
+    128-aligned (the XLA:TPU carry miscompile only bites unaligned shapes;
+    see ops/griffin_lim.py) and must produce the same waveform either way.
+    On CPU both loop forms are sound, so we pin equality by comparing the
+    gated implementation against an explicit static unroll."""
+    from riffusion_tpu.ops.griffin_lim import griffin_lim
+
+    p = SpectrogramParams()
+    kernel = get_stft_kernel(
+        p.n_fft, p.win_length, p.hop_length, n_bins=bins, backend="dft"
+    )
+    consts = kernel.jax_consts()
+    rng = np.random.default_rng(3)
+    mag = jnp.asarray(
+        np.abs(rng.standard_normal((1, bins, frames))).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(11)
+    n_iters = 4
+
+    got = np.asarray(
+        jax.jit(lambda m, c, k: griffin_lim(m, kernel, k, n_iters=n_iters, consts=c))(
+            mag, consts, key
+        )
+    )
+
+    # explicit unrolled reference (same init/momentum math)
+    def reference(mag, consts, key):
+        kr, ki = jax.random.split(key)
+        ar = jax.random.uniform(kr, mag.shape, dtype=jnp.float32)
+        ai = jax.random.uniform(ki, mag.shape, dtype=jnp.float32)
+        norm = jnp.sqrt(ar * ar + ai * ai) + 1e-16
+        ar, ai = ar / norm, ai / norm
+        mom = 0.99 / 1.99
+        tr = jnp.zeros_like(mag); ti = jnp.zeros_like(mag)
+        for _ in range(n_iters):
+            wav = kernel.istft(mag * ar, mag * ai, consts)
+            rr, ri = kernel.stft(wav, consts)
+            ur = rr - mom * tr; ui = ri - mom * ti
+            un = jnp.sqrt(ur * ur + ui * ui) + 1e-16
+            ar, ai, tr, ti = ur / un, ui / un, rr, ri
+        return kernel.istft(mag * ar, mag * ai, consts)
+
+    want = np.asarray(jax.jit(reference)(mag, consts, key))
+    np.testing.assert_allclose(got, want, atol=1e-4 * np.abs(want).max())
