@@ -126,6 +126,16 @@ class DynamicBatcher:
         self._done_q.put(None)  # wake the finalizer
         self._worker.join(timeout)
         self._finalizer.join(timeout)
+        # fail any stragglers instead of stranding their waiters forever
+        err = RuntimeError("batcher shut down")
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item.done.is_set():
+                item.error = err
+                item.done.set()
 
     # --------------------------------------------------------------- worker
 
