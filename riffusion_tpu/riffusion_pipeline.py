@@ -546,6 +546,7 @@ class RiffusionPipeline:
         height: int, width: int, seq_len: int, batch: int,
         fused_params: T.Optional[SpectrogramParams],
         mesh: T.Optional[jax.sharding.Mesh] = None,
+        per_item_image: bool = False,
     ):
         """Batched variant of the riffuse program: N independent requests
         (prompts/seeds/alphas) in one device program (the CFG UNet runs at
@@ -576,16 +577,24 @@ class RiffusionPipeline:
         def program(unet_params, vae_params, text_emb, init_image, keys,
                     alphas, guidances, dsp_consts):
             # text_emb: (2N, L, D) = [unconds..., conds...]
-            # All requests share one init image (the public batch API takes a
-            # single image): encode ONCE and broadcast the moments — each
-            # request still draws its own latent sample from its own key.
-            # (Encoding N copies wasted ~0.5 s at N=16 on v5e, plus an N x
-            # host->device image transfer over the remote relay.)
-            mean, logvar = self.vae.apply(
-                {"params": vae_params}, init_image, method="encode_moments"
-            )
-            mean = jnp.broadcast_to(mean, (batch,) + mean.shape[1:])
-            logvar = jnp.broadcast_to(logvar, (batch,) + logvar.shape[1:])
+            if per_item_image:
+                # (N, H, W, 3): each request has its own seed image (the
+                # long-audio clip sweep) — batched VAE encode
+                mean, logvar = self.vae.apply(
+                    {"params": vae_params}, init_image, method="encode_moments"
+                )
+            else:
+                # All requests share one init image (the serving batch API
+                # takes a single image): encode ONCE and broadcast the
+                # moments — each request still draws its own latent sample
+                # from its own key. (Encoding N copies wasted ~0.5 s at N=16
+                # on v5e, plus an N x host->device image transfer over the
+                # remote relay.)
+                mean, logvar = self.vae.apply(
+                    {"params": vae_params}, init_image, method="encode_moments"
+                )
+                mean = jnp.broadcast_to(mean, (batch,) + mean.shape[1:])
+                logvar = jnp.broadcast_to(logvar, (batch,) + logvar.shape[1:])
             latents = jax.vmap(prepare_one)(mean[:, None], logvar[:, None], keys, alphas)
             latents = latents[:, 0]  # (N, h, w, c)
 
@@ -669,7 +678,7 @@ class RiffusionPipeline:
     def riffuse_audio_batch(
         self,
         inputs_list: T.Sequence[InferenceInput],
-        init_image: Image.Image,
+        init_image: T.Union[Image.Image, T.Sequence[Image.Image]],
         params: T.Optional[SpectrogramParams] = None,
         use_reweighting: bool = True,
         apply_filters: bool = True,
@@ -687,6 +696,9 @@ class RiffusionPipeline:
         instead of results: the device program is dispatched (async) and
         finalize() blocks on the readback — callers can overlap the next
         batch's host work with this batch's device time.
+
+        `init_image` may be a sequence of N images (one per request, e.g.
+        the long-audio clip sweep); all must share one size.
 
         With `mesh` (axis name 'data'), the batch is sharded data-parallel
         across the mesh devices — multi-chip serving with one program. N must
@@ -730,7 +742,15 @@ class RiffusionPipeline:
         unconds = [self._pad_seq(u, seq) for u in unconds]
         text_emb = jnp.concatenate(unconds + conds, axis=0)  # (2N, L, D)
 
-        image_arr = preprocess_image(init_image)
+        per_item_image = not isinstance(init_image, Image.Image)
+        if per_item_image:
+            assert len(init_image) == n, "need one init image per request"
+            arrs = [preprocess_image(im) for im in init_image]
+            sizes = {a.shape for a in arrs}
+            assert len(sizes) == 1, f"init images must share one size: {sizes}"
+            image_arr = np.concatenate(arrs, axis=0)  # (N, H, W, 3)
+        else:
+            image_arr = preprocess_image(init_image)
         height, width = image_arr.shape[1], image_arr.shape[2]
 
         strength = float(np.mean(strengths))
@@ -742,7 +762,7 @@ class RiffusionPipeline:
 
         program = self._riffuse_batch_program(
             self.bundle.scheduler_name, num_steps, t_start, noise_timestep,
-            height, width, int(seq), n, params, mesh,
+            height, width, int(seq), n, params, mesh, per_item_image,
         )
         if mesh is None:
             images_u8, waveforms = program(

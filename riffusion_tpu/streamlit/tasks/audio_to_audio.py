@@ -173,6 +173,17 @@ def restyle_audio(
     Returns (stitched audio, result images)."""
     starts = clip_start_times(segment.duration_seconds)
     clips = slice_audio_into_clips(segment, starts)
+
+    if mode == "interpolation" and len(clips) > 1:
+        batched = _restyle_clips_batched(
+            clips, params, device=device, checkpoint=checkpoint,
+            increment_seed_per_clip=increment_seed_per_clip, **mode_kwargs,
+        )
+        if batched is not None:
+            outputs, images = batched
+            stitched = audio_util.stitch_segments(outputs, crossfade_s=OVERLAP_S)
+            return stitched, images
+
     outputs = []
     images = []
     for i, clip in enumerate(clips):
@@ -187,6 +198,68 @@ def restyle_audio(
         images.append(result_image)
     stitched = audio_util.stitch_segments(outputs, crossfade_s=OVERLAP_S)
     return stitched, images
+
+
+def _restyle_clips_batched(
+    clips: T.List[AudioSegment],
+    params: ClipParams,
+    device: str = "tpu",
+    checkpoint: T.Optional[str] = None,
+    increment_seed_per_clip: bool = True,
+    interpolation_alpha: float = 0.5,
+    prompt_b: T.Optional[str] = None,
+    seed_b: int = 123,
+    **_ignored,
+) -> T.Optional[T.Tuple[T.List[AudioSegment], T.List[Image.Image]]]:
+    """Run the whole interpolation-mode clip sweep as ONE batched device
+    program (per-clip seed images via the batch program's per-item-image
+    path; the reference restyles clip-by-clip, audio_to_audio.py:210).
+    Returns None when clip sizes differ (odd tail clip) — caller falls back
+    to the serial loop."""
+    from riffusion_tpu.datatypes import InferenceInput, PromptInput
+    from riffusion_tpu.streamlit import util as streamlit_util
+
+    spectrogram_params = SpectrogramParams()
+    model_images = []
+    for clip in clips:
+        image = streamlit_util.spectrogram_image_from_audio(
+            clip, params=spectrogram_params, device=device
+        )
+        model_images.append(scale_image_to_32_stride(image))
+    if len({im.size for im in model_images}) != 1:
+        return None
+
+    pipeline = streamlit_util.load_riffusion_checkpoint(
+        checkpoint=checkpoint or streamlit_util.DEFAULT_CHECKPOINT, device=device
+    )
+    inputs_list = []
+    for i in range(len(clips)):
+        seed = params.seed + (i if increment_seed_per_clip else 0)
+        inputs_list.append(
+            InferenceInput(
+                alpha=interpolation_alpha,
+                num_inference_steps=params.num_inference_steps,
+                start=PromptInput(
+                    prompt=params.prompt, seed=seed,
+                    denoising=params.denoising, guidance=params.guidance,
+                ),
+                end=PromptInput(
+                    prompt=prompt_b or params.prompt, seed=seed_b + i,
+                    denoising=params.denoising, guidance=params.guidance,
+                ),
+            )
+        )
+    h = model_images[0].height
+    fused = SpectrogramParams(
+        min_frequency=0, max_frequency=10000,
+        num_frequencies=h - h % 32,
+    )
+    results = pipeline.riffuse_audio_batch(
+        inputs_list, model_images, params=fused
+    )
+    outputs = [seg for _, seg in results]
+    images = [img for img, _ in results]
+    return outputs, images
 
 
 def render() -> None:

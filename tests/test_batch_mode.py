@@ -89,3 +89,28 @@ def test_sharded_batch_requires_divisible_batch(pipe):
     init = Image.new("RGB", (64, 64))
     with pytest.raises(AssertionError):
         pipe.riffuse_audio_batch([_req(i) for i in range(3)], init, mesh=mesh)
+
+
+def test_per_item_init_images(pipe):
+    """riffuse_audio_batch accepts one init image PER request (the long-audio
+    clip sweep): each request's output must match the single-request result
+    for its own image within uint8 rounding."""
+    rng = np.random.default_rng(5)
+    images = [
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    params = SpectrogramParams(num_frequencies=64)
+    reqs = [_req(i) for i in range(2)]
+
+    batch = pipe.riffuse_audio_batch(reqs, images, params=params)
+    assert len(batch) == 2
+    for i in range(2):
+        img_serial, _ = pipe.riffuse_audio(reqs[i], images[i], params=params)
+        diff = np.abs(
+            np.array(batch[i][0]).astype(np.int16) - np.array(img_serial).astype(np.int16)
+        )
+        assert diff.max() <= 2, f"request {i}: max pixel diff {diff.max()}"
+
+    with pytest.raises(AssertionError):
+        pipe.riffuse_audio_batch(reqs, images[:1], params=params)  # count mismatch

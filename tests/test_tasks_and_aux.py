@@ -237,3 +237,52 @@ def test_frame_sweep_sharded():
     )
     assert frames.shape == (4, 64, 64, 3)
     assert not np.array_equal(frames[0], frames[-1])
+
+
+def test_restyle_audio_batched_interpolation_matches_structure():
+    """Long-audio interpolation restyle runs the clip sweep as one batched
+    device program (per-clip seed images); output covers the full duration
+    and per-clip images differ (per-clip seeds)."""
+    import numpy as np
+
+    from riffusion_tpu.audio.segment import AudioSegment
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+    from riffusion_tpu.streamlit import util as streamlit_util
+    from riffusion_tpu.streamlit.tasks.audio_to_audio import ClipParams, restyle_audio
+
+    # ~7 s of noise -> 2 clips of 5 s (the second one padded by slicing rules)
+    sr = 44100
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal(int(7.0 * sr)) * 0.2).astype(np.float32)
+    segment = AudioSegment.from_float(wave[None], sr)
+
+    # monkeypatch-free: point the streamlit loader at the tiny random model
+    pipe = RiffusionPipeline.load_checkpoint("random:tiny", device="cpu")
+    streamlit_util._PIPELINE_CACHE = {("random:tiny", "cpu"): pipe} if hasattr(
+        streamlit_util, "_PIPELINE_CACHE") else {}
+    orig = streamlit_util.load_riffusion_checkpoint
+    streamlit_util.load_riffusion_checkpoint = lambda **kw: pipe
+    batch_calls = []
+    orig_batch = pipe.riffuse_audio_batch
+
+    def counting_batch(*a, **kw):
+        batch_calls.append(len(a[0]))
+        return orig_batch(*a, **kw)
+
+    pipe.riffuse_audio_batch = counting_batch
+    try:
+        stitched, images = restyle_audio(
+            segment,
+            ClipParams(prompt="lofi beat", num_inference_steps=2),
+            mode="interpolation",
+            device="cpu",
+            checkpoint="random:tiny",
+        )
+    finally:
+        streamlit_util.load_riffusion_checkpoint = orig
+        pipe.riffuse_audio_batch = orig_batch
+    assert batch_calls == [2], f"expected one 2-clip batched call, got {batch_calls}"
+
+    assert stitched.duration_seconds > 6.0
+    assert len(images) == 2
+    assert not np.array_equal(np.array(images[0]), np.array(images[1]))
