@@ -60,53 +60,44 @@ def run_interpolation_batch(
 
     import jax
 
+    # The whole alpha sweep is ONE batched fused program (images AND audio
+    # from the same device dispatch; the reference generated each frame
+    # serially then converted images to audio one by one,
+    # interpolation.py:146-181). With a multi-device mesh, the batch shards
+    # data-parallel across chips.
+    mesh = None
     if use_sharded_sweep and len(jax.devices()) > 1:
         from riffusion_tpu.parallel.mesh import make_mesh
-        from riffusion_tpu.parallel.sweep import FrameSweep
 
-        mesh = make_mesh(axis_names=("data",))
-        sweep = FrameSweep(pipeline, mesh)
-        frames = sweep.interpolate(
-            prompt_start=spec.prompt_start,
-            prompt_end=spec.prompt_end,
-            seed_start=spec.seed_start,
-            seed_end=spec.seed_end,
-            init_image=init_image,
-            alphas=alphas,
+        candidate = make_mesh(axis_names=("data",))
+        if len(alphas) % candidate.shape["data"] == 0:
+            mesh = candidate
+
+    reqs = [
+        InferenceInput(
+            alpha=float(alpha),
             num_inference_steps=spec.num_inference_steps,
-            denoising=spec.denoising,
-            guidance_start=spec.guidance,
-            guidance_end=spec.guidance,
+            seed_image_id="og_beat",
+            start=PromptInput(
+                prompt=spec.prompt_start, seed=spec.seed_start,
+                denoising=spec.denoising, guidance=spec.guidance,
+            ),
+            end=PromptInput(
+                prompt=spec.prompt_end, seed=spec.seed_end,
+                denoising=spec.denoising, guidance=spec.guidance,
+            ),
         )
-        images = [Image.fromarray(f, mode="RGB") for f in frames]
-    else:
-        images = []
-        for alpha in alphas:
-            inputs = InferenceInput(
-                alpha=float(alpha),
-                num_inference_steps=spec.num_inference_steps,
-                seed_image_id="og_beat",
-                start=PromptInput(
-                    prompt=spec.prompt_start, seed=spec.seed_start,
-                    denoising=spec.denoising, guidance=spec.guidance,
-                ),
-                end=PromptInput(
-                    prompt=spec.prompt_end, seed=spec.seed_end,
-                    denoising=spec.denoising, guidance=spec.guidance,
-                ),
-            )
-            images.append(pipeline.riffuse(inputs, init_image=init_image))
-
+        for alpha in alphas
+    ]
     num_frequencies = init_image.height - init_image.height % 32
     params = SpectrogramParams(
         min_frequency=0, max_frequency=10000, num_frequencies=num_frequencies
     )
-    segments = [
-        streamlit_util.audio_segment_from_spectrogram_image(
-            image=image, params=params, device=device
-        )
-        for image in images
-    ]
+    results = pipeline.riffuse_audio_batch(
+        reqs, init_image, params=params, mesh=mesh
+    )
+    images = [img for img, _ in results]
+    segments = [seg for _, seg in results]
     return images, segments
 
 

@@ -286,3 +286,51 @@ def test_restyle_audio_batched_interpolation_matches_structure():
     assert stitched.duration_seconds > 6.0
     assert len(images) == 2
     assert not np.array_equal(np.array(images[0]), np.array(images[1]))
+
+
+def test_run_interpolation_batch_fused_and_sharded():
+    """The alpha sweep runs as one batched fused program (images + audio in
+    one dispatch), sharded over the mesh when the frame count divides the
+    data axis."""
+    import numpy as np
+    from PIL import Image
+
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+    from riffusion_tpu.streamlit import util as streamlit_util
+    from riffusion_tpu.streamlit.tasks.interpolation import (
+        InterpolationSpec,
+        run_interpolation_batch,
+    )
+
+    pipe = RiffusionPipeline.load_checkpoint("random:tiny", device="cpu")
+    orig = streamlit_util.load_riffusion_checkpoint
+    streamlit_util.load_riffusion_checkpoint = lambda **kw: pipe
+    calls = []
+    orig_batch = pipe.riffuse_audio_batch
+
+    def counting(*a, **kw):
+        calls.append(len(a[0]))
+        return orig_batch(*a, **kw)
+
+    pipe.riffuse_audio_batch = counting
+    rng = np.random.default_rng(0)
+    init = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    try:
+        images, segments = run_interpolation_batch(
+            InterpolationSpec(
+                prompt_start="a", prompt_end="b",
+                seed_start=1, seed_end=2,
+                num_frames=8, num_inference_steps=2,
+            ),
+            init_image=init,
+            device="cpu",
+        )
+    finally:
+        streamlit_util.load_riffusion_checkpoint = orig
+        pipe.riffuse_audio_batch = orig_batch
+
+    assert calls == [8], f"expected one 8-frame batched call, got {calls}"
+    assert len(images) == 8 and len(segments) == 8
+    for seg in segments:
+        assert seg.duration_seconds > 0.5
+        assert np.abs(seg.raw_data).max() > 1000  # fused GL produced audio
