@@ -547,6 +547,7 @@ class RiffusionPipeline:
         fused_params: T.Optional[SpectrogramParams],
         mesh: T.Optional[jax.sharding.Mesh] = None,
         per_item_image: bool = False,
+        use_mask: bool = False,
     ):
         """Batched variant of the riffuse program: N independent requests
         (prompts/seeds/alphas) in one device program (the CFG UNet runs at
@@ -572,9 +573,9 @@ class RiffusionPipeline:
                 latents = sched.add_noise(
                     self.noise_config, init_latents, noise, jnp.asarray(noise_timestep)
                 )
-            return latents
+            return latents, init_latents, noise
 
-        def program(unet_params, vae_params, text_emb, init_image, keys,
+        def program(unet_params, vae_params, text_emb, init_image, mask, keys,
                     alphas, guidances, dsp_consts):
             # text_emb: (2N, L, D) = [unconds..., conds...]
             if per_item_image:
@@ -595,8 +596,12 @@ class RiffusionPipeline:
                 )
                 mean = jnp.broadcast_to(mean, (batch,) + mean.shape[1:])
                 logvar = jnp.broadcast_to(logvar, (batch,) + logvar.shape[1:])
-            latents = jax.vmap(prepare_one)(mean[:, None], logvar[:, None], keys, alphas)
+            latents, init_latents_orig, noise = jax.vmap(prepare_one)(
+                mean[:, None], logvar[:, None], keys, alphas
+            )
             latents = latents[:, 0]  # (N, h, w, c)
+            init_latents_orig = init_latents_orig[:, 0]
+            noise = noise[:, 0]
 
             timesteps = jnp.asarray(plan.timesteps)
             state = sched.init_state(plan, latents.shape, latents.dtype, key=keys[0, 3])
@@ -611,6 +616,14 @@ class RiffusionPipeline:
                 eps_u, eps_t = jnp.split(eps, 2, axis=0)
                 eps = eps_u + g * (eps_t - eps_u)
                 lat, st = sched.step(plan, st, i, eps.astype(lat.dtype), lat)
+                if use_mask:
+                    # per-step re-noising in the scheduler's working space,
+                    # same math as the single-request path (_scan_denoise);
+                    # mask broadcasts (1-or-N, h, w, c) over the batch
+                    init_proper = sched.add_noise_at_index(
+                        plan, self.noise_config, init_latents_orig, noise, i
+                    )
+                    lat = init_proper * mask + lat * (1.0 - mask)
                 return (lat, st), None
 
             if plan.num_steps > 0:
@@ -652,9 +665,9 @@ class RiffusionPipeline:
             rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
             return jax.jit(
                 program,
-                # (unet_params, vae_params, text_emb, init_image, keys,
+                # (unet_params, vae_params, text_emb, init_image, mask, keys,
                 #  alphas, guidances, dsp_consts)
-                in_shardings=(rep, rep, data, rep, data, data, data, rep),
+                in_shardings=(rep, rep, data, rep, rep, data, data, data, rep),
                 out_shardings=(data, data),
             )
         return jax.jit(program, device=self._jax_device)
@@ -684,6 +697,7 @@ class RiffusionPipeline:
         apply_filters: bool = True,
         mesh: T.Optional[jax.sharding.Mesh] = None,
         async_dispatch: bool = False,
+        mask_image: T.Optional[Image.Image] = None,
     ) -> T.Union[
         T.List[T.Tuple[Image.Image, AudioSegment]],
         T.Callable[[], T.List[T.Tuple[Image.Image, AudioSegment]]],
@@ -698,7 +712,9 @@ class RiffusionPipeline:
         batch's host work with this batch's device time.
 
         `init_image` may be a sequence of N images (one per request, e.g.
-        the long-audio clip sweep); all must share one size.
+        the long-audio clip sweep); all must share one size. `mask_image`
+        applies one shared inpainting mask to every request (the serving
+        batcher groups by mask id, so a group is always mask-homogeneous).
 
         With `mesh` (axis name 'data'), the batch is sharded data-parallel
         across the mesh devices — multi-chip serving with one program. N must
@@ -742,6 +758,7 @@ class RiffusionPipeline:
         unconds = [self._pad_seq(u, seq) for u in unconds]
         text_emb = jnp.concatenate(unconds + conds, axis=0)  # (2N, L, D)
 
+        use_mask = mask_image is not None
         per_item_image = not isinstance(init_image, Image.Image)
         if per_item_image:
             assert len(init_image) == n, "need one init image per request"
@@ -760,13 +777,21 @@ class RiffusionPipeline:
         full_plan = sched.make_plan(self.bundle.scheduler_name, num_steps, 0, self.noise_config)
         noise_timestep = int(full_plan.timesteps[-init_timestep])
 
+        if use_mask:
+            mask_arr = preprocess_mask(
+                mask_image, scale_factor=8, size=(width // 8, height // 8)
+            )
+        else:
+            mask_arr = np.zeros((1, height // 8, width // 8, 4), np.float32)
+
         program = self._riffuse_batch_program(
             self.bundle.scheduler_name, num_steps, t_start, noise_timestep,
-            height, width, int(seq), n, params, mesh, per_item_image,
+            height, width, int(seq), n, params, mesh, per_item_image, use_mask,
         )
         if mesh is None:
             images_u8, waveforms = program(
                 self.unet_params, self.vae_params, text_emb, jnp.asarray(image_arr),
+                jnp.asarray(mask_arr),
                 jnp.stack(keys), jnp.asarray(alphas, jnp.float32),
                 jnp.asarray(guidances, jnp.float32),
                 self.converter(params).device_consts,
@@ -781,6 +806,7 @@ class RiffusionPipeline:
                 u_rep, v_rep,
                 jax.device_put(text_emb, data),
                 jax.device_put(jnp.asarray(image_arr), rep),
+                jax.device_put(jnp.asarray(mask_arr), rep),
                 jax.device_put(jnp.stack(keys), data),
                 jax.device_put(jnp.asarray(alphas, jnp.float32), data),
                 jax.device_put(jnp.asarray(guidances, jnp.float32), data),

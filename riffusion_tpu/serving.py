@@ -103,9 +103,10 @@ class DynamicBatcher:
         mask_image_id: T.Optional[str],
     ):
         """Enqueue one request and block until its (image, segment) is ready."""
-        # Masked requests and odd strengths still flow through the same
-        # worker (device serialization), they just never share a batch.
-        batchable = mask_image is None
+        # Requests batch when their static program signature matches; masked
+        # requests batch with the SAME mask id (the batch program applies one
+        # shared mask per launch).
+        batchable = True
         key = (
             seed_image_id,
             mask_image_id,
@@ -206,6 +207,7 @@ class DynamicBatcher:
                 params=items[0].params,
                 apply_filters=True,
                 async_dispatch=True,
+                mask_image=items[0].mask_image,
             )
             self._bump(requests=n, batched_requests=n, launches=1,
                        padded_slots=size - n)

@@ -114,3 +114,24 @@ def test_per_item_init_images(pipe):
 
     with pytest.raises(AssertionError):
         pipe.riffuse_audio_batch(reqs, images[:1], params=params)  # count mismatch
+
+
+def test_masked_batch_matches_serial(pipe):
+    """Batched inpainting: a shared mask in the batch program must reproduce
+    the single-request masked result per item."""
+    rng = np.random.default_rng(7)
+    init = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    # white top half = preserved region after preprocess_mask inversion rules
+    mask_arr = np.full((64, 64), 255, np.uint8)
+    mask_arr[32:] = 0
+    mask = Image.fromarray(mask_arr)
+    params = SpectrogramParams(num_frequencies=64)
+    reqs = [_req(i) for i in range(2)]
+
+    batch = pipe.riffuse_audio_batch(reqs, init, params=params, mask_image=mask)
+    for i in range(2):
+        img_serial = pipe.riffuse(reqs[i], init, mask_image=mask)
+        diff = np.abs(
+            np.array(batch[i][0]).astype(np.int16) - np.array(img_serial).astype(np.int16)
+        )
+        assert diff.max() <= 2, f"request {i}: max pixel diff {diff.max()}"

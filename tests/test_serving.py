@@ -38,7 +38,8 @@ class FakePipeline:
         return self._result(inputs)
 
     def riffuse_audio_batch(self, inputs_list, init_image, params=None,
-                            apply_filters=True, async_dispatch=False):
+                            apply_filters=True, async_dispatch=False,
+                            mask_image=None):
         if self.fail:
             raise RuntimeError("device on fire")
         self.calls.append(len(inputs_list))
@@ -134,15 +135,19 @@ def test_mixed_signatures_grouped_separately():
         batcher.shutdown()
 
 
-def test_masked_requests_never_batch():
+def test_masked_requests_batch_by_mask_id():
+    """Masked requests with the SAME mask id share one batched launch (the
+    batch program applies one shared mask); different mask ids split."""
     pipe = FakePipeline()
     batcher = DynamicBatcher(pipe, max_batch=8, window_ms=300)
     try:
-        reqs = [_inp(seed=0, mask="mask_top_third"), _inp(seed=1, mask="mask_top_third")]
-        masks = {0: PIL.Image.new("RGB", (8, 8)), 1: PIL.Image.new("RGB", (8, 8))}
+        reqs = [_inp(seed=0, mask="mask_top_third"), _inp(seed=1, mask="mask_top_third"),
+                _inp(seed=2, mask="mask_beat_lines")]
+        masks = {i: PIL.Image.new("RGB", (8, 8)) for i in range(3)}
         results, errors = _submit_many(batcher, reqs, mask_images=masks)
         assert all(e is None for e in errors)
-        assert pipe.calls == [1, 1]  # singles through riffuse_audio
+        # same-mask pair batches (one launch of 2); the odd mask runs single
+        assert sorted(pipe.calls) == [1, 2]
     finally:
         batcher.shutdown()
 
