@@ -479,6 +479,121 @@ class RiffusionPipeline:
 
         return jax.jit(program, device=self._jax_device)
 
+    @functools.lru_cache(maxsize=8)
+    def _txt2img_batch_program(self, scheduler: str, num_steps: int, height: int,
+                               width: int, seq_len: int, batch: int,
+                               fused_params: T.Optional[SpectrogramParams]):
+        """Batched txt2img: N independent prompts in one program, optionally
+        fused through codec -> inverse mel -> Griffin-Lim (same shape as the
+        riffuse batch program; the reference's text_to_audio_batch task runs
+        prompts one by one, text_to_audio_batch.py:120-139)."""
+        plan = sched.make_plan(scheduler, num_steps, 0, self.noise_config)
+        scale = self.bundle.vae_config.scaling_factor
+        converter = self.converter(fused_params) if fused_params is not None else None
+
+        def program(unet_params, vae_params, text_emb, keys, guidances, dsp_consts):
+            # text_emb: (2N, L, D) = [unconds..., conds...]; keys: (N, 2, 2)
+            shape = (batch, height // 8, width // 8, self.bundle.unet_config.in_channels)
+            latents = jax.vmap(
+                lambda k: jax.random.normal(k, shape[1:], jnp.float32)
+            )(keys[:, 0])
+            latents = latents * plan.init_noise_sigma
+
+            timesteps = jnp.asarray(plan.timesteps)
+            state = sched.init_state(plan, latents.shape, latents.dtype, key=keys[0, 1])
+            g = guidances[:, None, None, None]
+
+            def body(carry, i):
+                lat, st = carry
+                lat_in = jnp.concatenate([lat, lat], axis=0)
+                lat_in = sched.scale_model_input(plan, lat_in, i)
+                t = jnp.broadcast_to(timesteps[i], (2 * batch,))
+                eps = self.unet.apply({"params": unet_params}, lat_in, t, text_emb)
+                eps_u, eps_t = jnp.split(eps, 2, axis=0)
+                eps = eps_u + g * (eps_t - eps_u)
+                lat, st = sched.step(plan, st, i, eps.astype(lat.dtype), lat)
+                return (lat, st), None
+
+            if plan.num_steps > 0:
+                (latents, _), _ = jax.lax.scan(
+                    body, (latents, state), jnp.arange(plan.num_steps)
+                )
+
+            decoded = self.vae.apply(
+                {"params": vae_params}, latents / scale, method="decode"
+            )
+            image01 = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)
+            images_u8 = jnp.round(image01 * 255.0).astype(jnp.uint8)
+            if converter is None:
+                return images_u8, None
+            codes = jax.vmap(
+                lambda img: codec.codes_from_rgb_image(img, stereo=fused_params.stereo)
+            )(images_u8)
+            n, c, f, t_dim = codes.shape
+            mel_amps = codec.spectrogram_from_codes(
+                codes.reshape(n * c, f, t_dim), fused_params.power_for_image, max_value=30e6
+            )
+            waveforms = converter.waveform_from_mel_amplitudes(
+                mel_amps, key=keys[0, 1], consts=dsp_consts
+            )
+            return images_u8, _waveform_to_int16(waveforms.reshape(n, c, -1))
+
+        return jax.jit(program, device=self._jax_device)
+
+    def txt2img_audio_batch(
+        self,
+        prompts: T.Sequence[str],
+        negative_prompts: T.Optional[T.Sequence[T.Optional[str]]] = None,
+        seeds: T.Optional[T.Sequence[int]] = None,
+        num_inference_steps: int = 30,
+        guidances: T.Optional[T.Sequence[float]] = None,
+        width: int = 512,
+        height: int = 512,
+        scheduler: T.Optional[str] = None,
+        params: T.Optional[SpectrogramParams] = None,
+        apply_filters: bool = True,
+    ) -> T.List[T.Tuple[Image.Image, T.Optional[AudioSegment]]]:
+        """N text-to-audio generations as ONE device program. With
+        `params=None` only images are produced (audio slot is None)."""
+        n = len(prompts)
+        negative_prompts = negative_prompts or [None] * n
+        seeds = seeds if seeds is not None else list(range(42, 42 + n))
+        guidances = guidances if guidances is not None else [7.0] * n
+
+        conds = [self.embed_text_weighted(p) for p in prompts]
+        seq = max(c.shape[1] for c in conds)
+        conds = [self._pad_seq(c, seq) for c in conds]
+        unconds = [
+            self._uncond_embedding(np_, seq) for np_ in negative_prompts
+        ]
+        text_emb = jnp.concatenate(unconds + conds, axis=0)
+        keys = jnp.stack([
+            jnp.stack([jax.random.PRNGKey(s), jax.random.fold_in(jax.random.PRNGKey(s), 7)])
+            for s in seeds
+        ])  # (N, 2, 2)
+
+        program = self._txt2img_batch_program(
+            scheduler or self.bundle.scheduler_name, num_inference_steps,
+            height, width, int(seq), n, params,
+        )
+        images_u8, waveforms = program(
+            self.unet_params, self.vae_params, text_emb, keys,
+            jnp.asarray(guidances, jnp.float32),
+            self.converter(params).device_consts if params is not None else 0,
+        )
+        images_np = np.asarray(images_u8)
+        results: T.List[T.Tuple[Image.Image, T.Optional[AudioSegment]]] = []
+        if waveforms is None:
+            return [(Image.fromarray(images_np[i], mode="RGB"), None) for i in range(n)]
+        waveforms_np = np.asarray(waveforms)
+        for i in range(n):
+            image = Image.fromarray(images_np[i], mode="RGB")
+            segment = AudioSegment(waveforms_np[i].T, (params or SpectrogramParams()).sample_rate)
+            if apply_filters:
+                segment = audio_util.apply_filters(segment, compression=False)
+            results.append((image, segment))
+        return results
+
     def txt2img(
         self,
         prompt: str,

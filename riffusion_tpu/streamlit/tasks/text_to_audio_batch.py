@@ -54,26 +54,30 @@ def run_batch(
         out_path = Path(output_dir)
         out_path.mkdir(parents=True, exist_ok=True)
 
+    # ONE batched fused device program for the whole spec: images AND audio
+    # in a single dispatch (the reference generates each entry serially then
+    # converts its image to audio, text_to_audio_batch.py:120-139)
+    pipeline = streamlit_util.load_riffusion_checkpoint(
+        checkpoint=checkpoint, device=device
+    )
+    results = pipeline.txt2img_audio_batch(
+        prompts=[e["prompt"] for e in entries],
+        negative_prompts=[e.get("negative_prompt", "") or None for e in entries],
+        seeds=[int(e.get("seed", 42)) for e in entries],
+        num_inference_steps=int(params["num_inference_steps"]),
+        guidances=[float(params["guidance"])] * len(entries),
+        width=int(params["width"]),
+        height=512,
+        scheduler=streamlit_util.scheduler_name(params["scheduler"]),
+        params=SpectrogramParams(),
+    )
+
     manifest = []
     for i, entry in enumerate(entries):
         prompt = entry["prompt"]
         seed = int(entry.get("seed", 42))
         negative_prompt = entry.get("negative_prompt", "")
-        image = streamlit_util.run_txt2img(
-            prompt=prompt,
-            num_inference_steps=int(params["num_inference_steps"]),
-            guidance=float(params["guidance"]),
-            negative_prompt=negative_prompt,
-            seed=seed,
-            width=int(params["width"]),
-            height=512,
-            checkpoint=checkpoint,
-            device=device,
-            scheduler=params["scheduler"],
-        )
-        segment = streamlit_util.audio_segment_from_spectrogram_image(
-            image=image, params=SpectrogramParams(), device=device
-        )
+        image, segment = results[i]
         record: T.Dict[str, T.Any] = {
             "index": i,
             "prompt": prompt,

@@ -334,3 +334,49 @@ def test_run_interpolation_batch_fused_and_sharded():
     for seg in segments:
         assert seg.duration_seconds > 0.5
         assert np.abs(seg.raw_data).max() > 1000  # fused GL produced audio
+
+
+def test_text_to_audio_batch_runs_one_fused_program(tmp_path):
+    """The batch spec runs as ONE txt2img_audio_batch call producing images
+    and audio together; manifest + on-disk outputs match the spec."""
+    import json
+
+    import numpy as np
+
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+    from riffusion_tpu.streamlit import util as streamlit_util
+    from riffusion_tpu.streamlit.tasks.text_to_audio_batch import run_batch
+
+    pipe = RiffusionPipeline.load_checkpoint("random:tiny", device="cpu")
+    orig = streamlit_util.load_riffusion_checkpoint
+    streamlit_util.load_riffusion_checkpoint = lambda **kw: pipe
+    calls = []
+    orig_batch = pipe.txt2img_audio_batch
+
+    def counting(*a, **kw):
+        calls.append(len(kw.get("prompts", a[0] if a else [])))
+        return orig_batch(*a, **kw)
+
+    pipe.txt2img_audio_batch = counting
+    data = {
+        "params": {"num_inference_steps": 2, "width": 64},
+        "entries": [
+            {"prompt": "acid house", "seed": 1},
+            {"prompt": "jazz trio", "seed": 2, "negative_prompt": "drums"},
+        ],
+    }
+    try:
+        manifest = run_batch(data, device="cpu", output_dir=tmp_path)
+    finally:
+        streamlit_util.load_riffusion_checkpoint = orig
+        pipe.txt2img_audio_batch = orig_batch
+
+    assert calls == [2], f"expected one 2-entry fused call, got {calls}"
+    assert len(manifest) == 2
+    for rec in manifest:
+        assert rec["_image_obj"].size == (64, 512)  # width from spec, height fixed
+        seg = rec["_segment_obj"]
+        assert np.abs(seg.raw_data).max() > 1000
+    index = json.loads((tmp_path / "index.json").read_text())
+    assert len(index) == 2 and index[0]["prompt"] == "acid house"
+    assert (tmp_path / index[0]["audio"]).exists()
