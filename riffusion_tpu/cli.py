@@ -243,9 +243,50 @@ def sample_clips_batch(
             pbar.update()
 
 
+def text_to_audio(
+    *,
+    prompt: str,
+    audio: str,
+    image: str = "",
+    negative_prompt: str = "",
+    seed: int = 42,
+    num_inference_steps: int = 30,
+    guidance: float = 7.0,
+    width: int = 512,
+    checkpoint: str = "riffusion/riffusion-model-v1",
+    device: str = "tpu",
+    scheduler: str = "pndm",
+) -> None:
+    """Generate audio from a text prompt (no reference equivalent: the
+    reference only exposes txt2img through the streamlit UI). One fused
+    device program produces the spectrogram image and the waveform."""
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+    from riffusion_tpu.spectrogram_params import SpectrogramParams
+
+    pipeline = RiffusionPipeline.load_checkpoint(checkpoint, device=device)
+    results = pipeline.txt2img_audio_batch(
+        prompts=[prompt],
+        negative_prompts=[negative_prompt or None],
+        seeds=[seed],
+        num_inference_steps=num_inference_steps,
+        guidances=[guidance],
+        width=width,
+        scheduler=scheduler,
+        params=SpectrogramParams(),
+    )
+    img, segment = results[0]
+    ext = Path(audio).suffix.lstrip(".") or "wav"
+    segment.export(audio, format=ext)
+    print(f"Wrote {audio} ({segment.duration_seconds:.2f} s)")
+    if image:
+        img.save(image, exif=img.getexif(), format="PNG")
+        print(f"Wrote {image}")
+
+
 # ----------------------------------------------------------------- dispatch
 
 _COMMANDS = [
+    text_to_audio,
     audio_to_image,
     image_to_audio,
     sample_clips,

@@ -165,3 +165,25 @@ def test_main_dispatch(tmp_path, wav_path, test_device):
 def test_main_rejects_unknown_flag(capsys):
     with pytest.raises(SystemExit):
         cli.main(["audio-to-image", "--nope", "x"])
+
+
+def test_text_to_audio_command(tmp_path):
+    """CLI text-to-audio: one fused program -> wav (+ optional PNG)."""
+    import wave
+
+    import numpy as np
+
+    from riffusion_tpu.cli import main
+
+    audio = tmp_path / "out.wav"
+    image = tmp_path / "out.png"
+    main([
+        "text-to-audio", "--prompt", "trance arps",
+        "--audio", str(audio), "--image", str(image),
+        "--num-inference-steps", "2", "--width", "64",
+        "--checkpoint", "random:tiny", "--device", "cpu",
+    ])
+    assert audio.exists() and image.exists()
+    with wave.open(str(audio)) as w:
+        data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert np.abs(data).max() > 1000
