@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from riffusion_tpu.diffusion import schedulers as sched
-from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+from riffusion_tpu.riffusion_pipeline import RiffusionPipeline, request_keys
 from riffusion_tpu.util import jax_util
 
 
@@ -48,9 +48,15 @@ class FrameSweep:
             text_embedding = embed_start + alpha * (embed_end - embed_start)
             text_emb = jnp.concatenate([uncond, text_embedding], axis=0)
             noise = jax_util.slerp(alpha, noise_a, noise_b)
-            latents = sched.add_noise(
-                pipe.noise_config, init_latents, noise, jnp.asarray(noise_timestep)
-            )
+            if plan.name in sched.SIGMA_BASED:
+                # k-diffusion samplers start at x0 + sigma_start*eps (same
+                # branch as the pipeline's _riffuse_program); DDPM-space
+                # noising would leave the init latents under-scaled
+                latents = sched.add_noise_sigma(plan, init_latents, noise, 0)
+            else:
+                latents = sched.add_noise(
+                    pipe.noise_config, init_latents, noise, jnp.asarray(noise_timestep)
+                )
             latents = pipe._scan_denoise(
                 plan, unet_params, latents, text_emb, guidance, None, None, None, key_sched
             )
@@ -91,7 +97,7 @@ class FrameSweep:
                               alpha_sharding, alpha_sharding, repl),
                 out_shardings=alpha_sharding,
             )
-        return jax.jit(program, device=pipe._jax_device)
+        return jax.jit(program)
 
     def interpolate(
         self,
@@ -147,12 +153,7 @@ class FrameSweep:
             pipe.bundle.scheduler_name, num_inference_steps, t_start, noise_timestep,
             n_pad, height, width, int(embed_start.shape[1]),
         )
-        keys = jnp.stack([
-            jax.random.PRNGKey(seed_start),
-            jax.random.PRNGKey(seed_start),
-            jax.random.PRNGKey(seed_end),
-            jax.random.fold_in(jax.random.PRNGKey(seed_start), 7),
-        ])
+        keys = request_keys(seed_start, seed_end)
         frames = program(
             pipe.unet_params, pipe.vae_params, jnp.asarray(image_arr),
             embed_start, embed_end, uncond,

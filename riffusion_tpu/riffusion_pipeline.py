@@ -42,6 +42,28 @@ from riffusion_tpu.util import audio_util, jax_util
 Array = jax.Array
 
 
+def request_keys(start_seed: int, end_seed: int) -> Array:
+    """Per-request PRNG keys, stacked (4, 2): VAE latent sample, noise_a,
+    noise_b, scheduler/Griffin-Lim phase init.
+
+    The VAE reparameterization key is FOLDED from the start seed rather than
+    equal to it: `vae.sample` draws `normal(key, mean.shape)` and noise_a is
+    `normal(key_a, same shape)`, so identical keys make the encoder's sampling
+    noise bit-identical to the img2img noise (the reference draws both
+    sequentially from one generator and they are independent,
+    riffusion_pipeline.py:233-239, 371-377). Outputs stay deterministic per
+    (start_seed, end_seed)."""
+    base = jax.random.PRNGKey(start_seed)
+    return jnp.stack(
+        [
+            jax.random.fold_in(base, 11),  # VAE latent sample
+            base,  # noise_a
+            jax.random.PRNGKey(end_seed),  # noise_b
+            jax.random.fold_in(base, 7),  # scheduler state / GL phase init
+        ]
+    )
+
+
 def _waveform_to_int16(waveform: Array) -> Array:
     """Peak-normalize to int16 full scale ON DEVICE (same math as
     AudioSegment.from_float(normalize=True)); halves the device->host
@@ -106,15 +128,16 @@ class RiffusionPipeline:
                     t,
                 )
 
-            return jax.jit(cast, device=self._jax_device)(tree)
+            return jax.jit(cast)(tree)
 
         self.unet_params = place_tree(bundle.unet_params, param_dtype)
         self.vae_params = place_tree(bundle.vae_params, jnp.float32)
         self.clip_params = place_tree(bundle.clip_params, param_dtype)
 
+        # No explicit jit device: the committed `params` argument pins the
+        # execution device (the deprecated jit(device=...) API is gone).
         self._encode_ids = jax.jit(
-            lambda params, ids: self.text_encoder.apply({"params": params}, ids),
-            device=self._jax_device,
+            lambda params, ids: self.text_encoder.apply({"params": params}, ids)
         )
         self._converters: T.Dict[SpectrogramParams, SpectrogramConverter] = {}
 
@@ -306,7 +329,7 @@ class RiffusionPipeline:
             )
             return image_u8, _waveform_to_int16(waveform)
 
-        return jax.jit(program, device=self._jax_device)
+        return jax.jit(program)
 
     def converter(self, params: SpectrogramParams) -> SpectrogramConverter:
         if params not in self._converters:
@@ -425,14 +448,7 @@ class RiffusionPipeline:
             fused_params,
         )
 
-        keys = jnp.stack(
-            [
-                jax.random.PRNGKey(start.seed),  # VAE latent sample (ref uses start.seed)
-                jax.random.PRNGKey(start.seed),  # noise_a
-                jax.random.PRNGKey(end.seed),  # noise_b
-                jax.random.fold_in(jax.random.PRNGKey(start.seed), 7),  # GL phase init
-            ]
-        )
+        keys = request_keys(start.seed, end.seed)
         dsp_consts = (
             self.converter(fused_params).device_consts if fused_params is not None else 0
         )
@@ -477,7 +493,7 @@ class RiffusionPipeline:
             image01 = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)
             return jnp.round(image01[0] * 255.0).astype(jnp.uint8)
 
-        return jax.jit(program, device=self._jax_device)
+        return jax.jit(program)
 
     @functools.lru_cache(maxsize=8)
     def _txt2img_batch_program(self, scheduler: str, num_steps: int, height: int,
@@ -538,7 +554,7 @@ class RiffusionPipeline:
             )
             return images_u8, _waveform_to_int16(waveforms.reshape(n, c, -1))
 
-        return jax.jit(program, device=self._jax_device)
+        return jax.jit(program)
 
     def txt2img_audio_batch(
         self,
@@ -785,7 +801,7 @@ class RiffusionPipeline:
                 in_shardings=(rep, rep, data, rep, rep, data, data, data, rep),
                 out_shardings=(data, data),
             )
-        return jax.jit(program, device=self._jax_device)
+        return jax.jit(program)
 
     def _replicated_state(self, mesh: jax.sharding.Mesh, params: SpectrogramParams):
         """Params + DSP consts replicated over the mesh, cached per mesh (the
@@ -860,14 +876,7 @@ class RiffusionPipeline:
                 inp.start.guidance * (1 - alpha) + inp.end.guidance * alpha
             )
             strengths.append((1 - alpha) * inp.start.denoising + alpha * inp.end.denoising)
-            keys.append(
-                jnp.stack([
-                    jax.random.PRNGKey(inp.start.seed),
-                    jax.random.PRNGKey(inp.start.seed),
-                    jax.random.PRNGKey(inp.end.seed),
-                    jax.random.fold_in(jax.random.PRNGKey(inp.start.seed), 7),
-                ])
-            )
+            keys.append(request_keys(inp.start.seed, inp.end.seed))
         seq = max(c.shape[1] for c in conds)
         conds = [self._pad_seq(c, seq) for c in conds]
         unconds = [self._pad_seq(u, seq) for u in unconds]
@@ -885,6 +894,16 @@ class RiffusionPipeline:
             image_arr = preprocess_image(init_image)
         height, width = image_arr.shape[1], image_arr.shape[2]
 
+        # The denoise start step is a compile-time constant, so one batched
+        # program cannot honor per-request strengths; silently averaging
+        # would change request semantics. The DynamicBatcher buckets on
+        # strength rounded to 3 decimals, so that tolerance is allowed here.
+        if max(strengths) - min(strengths) > 1e-3:
+            raise ValueError(
+                "batch requires a single denoising strength (got "
+                f"{sorted(set(round(s, 4) for s in strengths))}); split the "
+                "batch by strength or use serving.DynamicBatcher"
+            )
         strength = float(np.mean(strengths))
         offset = self.noise_config.steps_offset
         init_timestep = min(int(num_steps * strength) + offset, num_steps)
@@ -1007,7 +1026,7 @@ class RiffusionPipeline:
             image01 = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)
             return jnp.round(image01[0] * 255.0).astype(jnp.uint8)
 
-        return jax.jit(program, device=self._jax_device)
+        return jax.jit(program)
 
     def img2img_magic_mix(
         self,

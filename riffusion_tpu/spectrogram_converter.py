@@ -104,10 +104,8 @@ class SpectrogramConverter:
         }
 
         # consts are passed as call arguments so they stay HLO parameters.
-        self._forward = jax.jit(self._mel_amplitudes, device=self._jax_device)
-        self._inverse = jax.jit(
-            self._waveform, static_argnames=("n_iters",), device=self._jax_device
-        )
+        self._forward = jax.jit(self._mel_amplitudes)
+        self._inverse = jax.jit(self._waveform, static_argnames=("n_iters",))
 
     @property
     def device_consts(self):

@@ -135,3 +135,17 @@ def test_masked_batch_matches_serial(pipe):
             np.array(batch[i][0]).astype(np.int16) - np.array(img_serial).astype(np.int16)
         )
         assert diff.max() <= 2, f"request {i}: max pixel diff {diff.max()}"
+
+
+def test_batch_rejects_mixed_strengths(pipe):
+    """Heterogeneous denoising strengths must raise, not silently average
+    (the start step is a compile-time constant of the batched program)."""
+    init = Image.new("RGB", (64, 64))
+    weak = InferenceInput(
+        start=PromptInput(prompt="a", seed=1, denoising=0.4),
+        end=PromptInput(prompt="b", seed=2, denoising=0.4),
+        alpha=0.0,
+        num_inference_steps=3,
+    )
+    with pytest.raises(ValueError, match="denoising strength"):
+        pipe.riffuse_audio_batch([_req(0), weak], init)

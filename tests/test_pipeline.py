@@ -156,3 +156,22 @@ def test_img2img_magic_mix_sigma_scheduler(pipe, init_image):
     assert arr.shape == (64, 64, 3)
     assert np.isfinite(arr.astype(np.float64)).all()
     assert arr.std() > 0
+
+
+def test_request_keys_independent():
+    """The VAE reparameterization key must differ from the noise_a key:
+    identical keys make the encoder's sampling draw bit-identical to the
+    img2img noise (round-2 RNG correlation defect). The reference draws both
+    sequentially from one generator (riffusion_pipeline.py:233-239, 371-377)."""
+    import jax
+
+    from riffusion_tpu.riffusion_pipeline import request_keys
+
+    keys = request_keys(42, 99)
+    raw = [tuple(np.asarray(k).tolist()) for k in keys]
+    assert len(set(raw)) == 4, f"request keys not pairwise distinct: {raw}"
+    vae_draw = np.asarray(jax.random.normal(keys[0], (2, 8, 8, 4)))
+    noise_a = np.asarray(jax.random.normal(keys[1], (2, 8, 8, 4)))
+    assert not np.array_equal(vae_draw, noise_a)
+    # deterministic per seed pair
+    np.testing.assert_array_equal(np.asarray(request_keys(42, 99)), np.asarray(keys))
