@@ -61,11 +61,14 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     groups: int = 32
+    #: diffusers uses norm eps 1e-5 in the UNet (norm_eps) but 1e-6 in the
+    #: VAE encoder/decoder resnets — both matter for converted-weight parity
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: Array, temb: T.Optional[Array] = None) -> Array:
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1")(x)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv1")(h)
@@ -74,7 +77,7 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb).astype(self.dtype)
             )
             h = h + temb_proj[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2")(h)
         h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
                     name="conv2")(h)
@@ -224,7 +227,9 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
         value, gate = jnp.split(proj, 2, axis=-1)
-        x = value * nn.gelu(gate)
+        # exact (erf) gelu: diffusers' GEGLU uses F.gelu's default, not the
+        # tanh approximation — matters for converted-checkpoint parity
+        x = value * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(x)
 
 

@@ -63,9 +63,9 @@ class VAEMidBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = ResnetBlock2D(self.channels, self.dtype, self.groups, name="resnets_0")(x)
+        x = ResnetBlock2D(self.channels, self.dtype, self.groups, eps=1e-6, name="resnets_0")(x)
         x = VAEAttention(self.channels, self.dtype, name="attentions_0")(x)
-        x = ResnetBlock2D(self.channels, self.dtype, self.groups, name="resnets_1")(x)
+        x = ResnetBlock2D(self.channels, self.dtype, self.groups, eps=1e-6, name="resnets_1")(x)
         return x
 
 
@@ -83,7 +83,7 @@ class Encoder(nn.Module):
         for b, out_ch in enumerate(cfg.block_out_channels):
             for i in range(cfg.layers_per_block):
                 x = ResnetBlock2D(
-                    out_ch, self.dtype, cfg.norm_num_groups,
+                    out_ch, self.dtype, cfg.norm_num_groups, eps=1e-6,
                     name=f"down_blocks_{b}_resnets_{i}",
                 )(x)
             if b != len(cfg.block_out_channels) - 1:
@@ -123,7 +123,7 @@ class Decoder(nn.Module):
         for b, out_ch in enumerate(reversed_channels):
             for i in range(cfg.layers_per_block + 1):
                 x = ResnetBlock2D(
-                    out_ch, self.dtype, cfg.norm_num_groups,
+                    out_ch, self.dtype, cfg.norm_num_groups, eps=1e-6,
                     name=f"up_blocks_{b}_resnets_{i}",
                 )(x)
             if b != len(reversed_channels) - 1:

@@ -20,3 +20,19 @@ def test_all_modules_import():
 def test_integrations_import():
     importlib.import_module("integrations.baseten")
     importlib.import_module("integrations.cog_riffusion")
+
+
+def test_oracle_deps_present_in_ci():
+    """In CI the torch/transformers value oracles must RUN, not skip: the
+    oracle suites `importorskip` these packages, and round 2 shipped a dev
+    extra without transformers, so the flagship conversion-correctness tests
+    silently vanished from CI. This guard FAILS (not skips) when either
+    package is missing under CI."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("CI"):
+        pytest.skip("guard only enforced in CI")
+    import torch  # noqa: F401
+    import transformers  # noqa: F401
