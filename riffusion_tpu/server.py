@@ -121,18 +121,33 @@ def compute_batch_request(
     seed_images_dir: T.Union[str, Path],
 ) -> T.Union[str, T.Tuple[str, int]]:
     """Run N requests as one batched device program; returns
-    {"outputs": [InferenceOutput, ...]} JSON."""
+    {"outputs": [InferenceOutput, ...]} JSON. A shared mask_image_id is
+    supported (the batch program applies one mask to every request; mixed
+    ids are rejected by the route)."""
     seed_id = inputs_list[0].seed_image_id
     init_image_path = Path(seed_images_dir, f"{seed_id}.png")
     if not init_image_path.is_file():
         return f"Invalid seed image: {seed_id}", 400
     init_image = PIL.Image.open(str(init_image_path)).convert("RGB")
 
+    mask_image: T.Optional[PIL.Image.Image] = None
+    mask_id = inputs_list[0].mask_image_id
+    if mask_id:
+        mask_image_path = Path(seed_images_dir, f"{mask_id}.png")
+        if not mask_image_path.is_file():
+            return f"Invalid mask image: {mask_id}", 400
+        mask_image = PIL.Image.open(str(mask_image_path)).convert("RGB")
+
     num_frequencies = init_image.height - init_image.height % 32
     params = SpectrogramParams(
         min_frequency=0, max_frequency=10000, num_frequencies=num_frequencies
     )
-    results = pipeline.riffuse_audio_batch(inputs_list, init_image, params=params)
+    try:
+        results = pipeline.riffuse_audio_batch(
+            inputs_list, init_image, params=params, mask_image=mask_image
+        )
+    except ValueError as exception:  # e.g. heterogeneous denoising strengths
+        return str(exception), 400
 
     return json.dumps(
         {"outputs": [_encode_output(image, segment) for image, segment in results]}
@@ -219,9 +234,11 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _handle_batch(self, json_data) -> T.Union[str, T.Tuple[str, int]]:
         """POST /run_inference_batch/: {"requests": [InferenceInput, ...]}.
-        All requests must share num_inference_steps and seed_image_id; they
+        All requests must share num_inference_steps, seed_image_id,
+        mask_image_id (one shared mask — or none — per batch; the compiled
+        batch program applies a single mask), and denoising strength; they
         run as ONE batched device program (throughput extension — no
-        reference equivalent)."""
+        reference equivalent; reference mask handling: server.py:137-142)."""
         if not isinstance(json_data, dict) or "requests" not in json_data:
             return 'expected {"requests": [...]}', 400
         try:
@@ -234,8 +251,8 @@ class _Handler(BaseHTTPRequestHandler):
             return "batch requires a single seed_image_id", 400
         if len({i.num_inference_steps for i in inputs_list}) != 1:
             return "batch requires a single num_inference_steps", 400
-        if any(i.mask_image_id for i in inputs_list):
-            return "masks are not supported in batch mode", 400
+        if len({i.mask_image_id or "" for i in inputs_list}) != 1:
+            return "batch requires a single shared mask_image_id (or none)", 400
 
         return compute_batch_request(
             inputs_list,
