@@ -21,20 +21,28 @@ import numpy as np
 Array = jax.Array
 
 
+def precise_dtype(dtype: jnp.dtype) -> jnp.dtype:
+    """Accumulation/softmax dtype for a module compute dtype: fp32 for the
+    fp32/bf16 TPU paths (identical HLO to a hard fp32 pin), fp64 when a module
+    runs in fp64 (the roundoff-free wiring oracle in tests)."""
+    return jnp.promote_types(jnp.float32, dtype)
+
+
 def timestep_embedding(
     timesteps: Array,
     dim: int,
     max_period: float = 10000.0,
     flip_sin_to_cos: bool = True,
     downscale_freq_shift: float = 0.0,
+    dtype: jnp.dtype = jnp.float32,
 ) -> Array:
     """Sinusoidal timestep embedding, (B,) -> (B, dim). Matches the SD v1
     convention (flip_sin_to_cos=True, freq_shift=0)."""
     half = dim // 2
-    exponent = -np.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = -np.log(max_period) * jnp.arange(half, dtype=dtype)
     exponent = exponent / (half - downscale_freq_shift)
     freqs = jnp.exp(exponent)
-    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    args = timesteps.astype(dtype)[:, None] * freqs[None, :]
     sin, cos = jnp.sin(args), jnp.cos(args)
     emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
     if dim % 2 == 1:
@@ -202,11 +210,16 @@ class Attention(nn.Module):
             out = jax.nn.dot_product_attention(q, k, v, scale=scale)
         elif ATTENTION_IMPL == "cast":
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            weights = jax.nn.softmax(
+                logits.astype(precise_dtype(self.dtype)), axis=-1
+            ).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         else:  # "pref"
             logits = (
-                jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+                jnp.einsum(
+                    "bqhd,bkhd->bhqk", q, k,
+                    preferred_element_type=precise_dtype(self.dtype),
+                )
                 * scale
             )
             weights = jax.nn.softmax(logits, axis=-1)

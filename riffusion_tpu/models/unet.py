@@ -23,6 +23,7 @@ from riffusion_tpu.models.layers import (
     TimestepEmbedding,
     Transformer2D,
     Upsample2D,
+    precise_dtype,
     timestep_embedding,
 )
 
@@ -161,6 +162,7 @@ class UNet2DCondition(nn.Module):
             cfg.block_out_channels[0],
             flip_sin_to_cos=cfg.flip_sin_to_cos,
             downscale_freq_shift=cfg.freq_shift,
+            dtype=precise_dtype(self.dtype),
         )
         temb = TimestepEmbedding(temb_dim, self.dtype, name="time_embedding")(t_emb)
 
@@ -210,6 +212,6 @@ class UNet2DCondition(nn.Module):
         x = nn.silu(x).astype(self.dtype)
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            dtype=jnp.float32, name="conv_out",
+            dtype=precise_dtype(self.dtype), name="conv_out",
         )(x)
         return x

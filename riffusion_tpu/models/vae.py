@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from riffusion_tpu.models.layers import Downsample2D, ResnetBlock2D, Upsample2D
+from riffusion_tpu.models.layers import (
+    Downsample2D,
+    ResnetBlock2D,
+    Upsample2D,
+    precise_dtype,
+)
 
 Array = jax.Array
 
@@ -50,7 +55,9 @@ class VAEAttention(nn.Module):
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
         logits = jnp.einsum("bqc,bkc->bqk", q, k) / np.sqrt(c)
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        weights = jax.nn.softmax(
+            logits.astype(precise_dtype(self.dtype)), axis=-1
+        ).astype(self.dtype)
         y = jnp.einsum("bqk,bkc->bqc", weights, v)
         y = nn.Dense(c, dtype=self.dtype, name="to_out")(y)
         return residual + y.reshape(b, h, w, c)
@@ -98,10 +105,13 @@ class Encoder(nn.Module):
         x = nn.silu(x).astype(self.dtype)
         x = nn.Conv(
             2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)),
-            dtype=jnp.float32, name="conv_out",
+            dtype=precise_dtype(self.dtype), name="conv_out",
         )(x)
         # diffusers applies an extra 1x1 "quant_conv" after the encoder
-        return nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=jnp.float32, name="quant_conv")(x)
+        return nn.Conv(
+            2 * cfg.latent_channels, (1, 1),
+            dtype=precise_dtype(self.dtype), name="quant_conv",
+        )(x)
 
 
 class Decoder(nn.Module):
@@ -111,7 +121,10 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z: Array) -> Array:
         cfg = self.cfg
-        z = nn.Conv(cfg.latent_channels, (1, 1), dtype=jnp.float32, name="post_quant_conv")(z)
+        z = nn.Conv(
+            cfg.latent_channels, (1, 1),
+            dtype=precise_dtype(self.dtype), name="post_quant_conv",
+        )(z)
         x = nn.Conv(
             cfg.block_out_channels[-1], (3, 3), padding=((1, 1), (1, 1)),
             dtype=self.dtype, name="conv_in",
@@ -132,7 +145,7 @@ class Decoder(nn.Module):
         x = nn.silu(x).astype(self.dtype)
         return nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            dtype=jnp.float32, name="conv_out",
+            dtype=precise_dtype(self.dtype), name="conv_out",
         )(x)
 
 

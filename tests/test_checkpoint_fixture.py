@@ -17,6 +17,7 @@ import json
 import os
 import subprocess
 import sys
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -59,7 +60,7 @@ def _synth_torch_state_dict(kind, torch_keys, flat_flax):
                  else np.zeros((2,))}
         (path,) = twc._flatten(convert_torch_state_dict(probe, kind)).keys()
         shape = twc._torch_shape(path, flat_flax[path])
-        rng = np.random.default_rng(abs(hash(tk)) % 2**31)
+        rng = np.random.default_rng(zlib.crc32(tk.encode()))
         sd[tk] = (rng.standard_normal(shape) * 0.05).astype(np.float32)
     return sd
 

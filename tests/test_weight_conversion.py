@@ -9,6 +9,7 @@ Flax modules initialize — a bijection with matching shapes. This catches any
 renaming or transpose drift without needing real weights.
 """
 
+import zlib
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -290,7 +291,7 @@ def test_conversion_bijection(kind):
         (path,) = _flatten(single).keys()
         path_by_torch_key[tk] = path
         arr = flat_flax[path]
-        state_dict[tk] = np.random.default_rng(abs(hash(tk)) % 2**31).standard_normal(
+        state_dict[tk] = np.random.default_rng(zlib.crc32(tk.encode())).standard_normal(
             _torch_shape(path, arr)
         ).astype(np.float32)
 

@@ -60,12 +60,13 @@ def _ln(sd: SD, p: str, x, eps: float = 1e-5):
 
 
 def timestep_embedding(timesteps, dim: int, flip_sin_to_cos: bool = True,
-                       downscale_freq_shift: float = 0.0, max_period: float = 10000.0):
+                       downscale_freq_shift: float = 0.0, max_period: float = 10000.0,
+                       dtype=torch.float32):
     half = dim // 2
-    exponent = -math.log(max_period) * torch.arange(half, dtype=torch.float32)
+    exponent = -math.log(max_period) * torch.arange(half, dtype=dtype)
     exponent = exponent / (half - downscale_freq_shift)
     freqs = torch.exp(exponent)
-    args = timesteps.float()[:, None] * freqs[None, :]
+    args = timesteps.to(dtype)[:, None] * freqs[None, :]
     emb = torch.cat([torch.sin(args), torch.cos(args)], dim=-1)
     if flip_sin_to_cos:
         emb = torch.cat([emb[:, half:], emb[:, :half]], dim=-1)
@@ -140,7 +141,9 @@ def unet_forward(
     def cat_skip(x, skip):
         return torch.cat([skip, x] if swap_skip_order else [x, skip], dim=1)
 
-    t_emb = timestep_embedding(timesteps, block_out_channels[0])
+    t_emb = timestep_embedding(
+        timesteps, block_out_channels[0], dtype=sample.dtype
+    )
     temb = _linear(sd, "time_embedding.linear_1", t_emb)
     temb = _linear(sd, "time_embedding.linear_2", F.silu(temb))
 
