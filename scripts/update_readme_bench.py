@@ -24,6 +24,11 @@ def parse(log: str) -> dict:
     m = re.search(r"best end-to-end: ([\d.]+) s for a ([\d.]+) s clip \(([\d.]+)x realtime\)", log)
     if m:
         vals["e2e_s"], vals["clip_s"], vals["rt"] = m.group(1), m.group(2), m.group(3)
+    m = re.search(
+        r"FAST-preset latency: ([\d.]+) s for a [\d.]+ s clip \(([\d.]+)x realtime\)", log
+    )
+    if m:
+        vals["fast_s"], vals["fast_rt"] = m.group(1), m.group(2)
     # last parity batch (the biggest batch size run)
     for m in re.finditer(
         r"batched throughput: [\d.]+ s for (\d+) clips = ([\d.]+) clips/s", log
@@ -50,6 +55,11 @@ def rows(v: dict) -> str:
         out.append(
             f"| {v['clip_s']} s clip end-to-end (50 PLMS steps + 32 Griffin-Lim iters, fused) "
             f"| **{v['e2e_s']} s** ({v['rt']}x realtime) | < 5 s on RTX 3090 (its realtime bar) |"
+        )
+    if "fast_s" in v:
+        out.append(
+            f"| Single-clip latency, serving FAST preset (dpmpp-28, 50-step quality "
+            f"per convergence gate) | **{v['fast_s']} s** ({v['fast_rt']}x realtime) | n/a |"
         )
     if "batch_cps" in v:
         sustained = f"; **{v['sustained_cps']} clips/s sustained** with pipelined readback" \
