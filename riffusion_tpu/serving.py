@@ -17,6 +17,11 @@ Design notes (TPU-shaped):
   compilation, so arbitrary sizes would compile-storm the cache. Short
   batches are padded up to the bucket by repeating the tail request —
   wasted FLOPs are bounded by 2x and only on partially-filled buckets.
+- 16 is the largest bucket that fits one v5e chip: CFG doubles the UNet
+  batch, and at serving batch 24 (UNet 48) the materialized 4096x4096
+  attention matrices exceed HBM (RESOURCE_EXHAUSTED; measured 2026-08-17,
+  benchmarks/batch_sweep.py — b24/b32 OOM at both presets, while b8 and
+  b16 sustain within noise of each other, so bigger buckets buy nothing).
 - Only requests with the same static program signature batch together
   (seed image, step count, strength bucket, no mask): those are the shapes/
   constants baked into the compiled program.
