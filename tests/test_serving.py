@@ -189,14 +189,26 @@ def test_errors_propagate_to_all_waiters_and_worker_survives():
 
 
 @pytest.fixture(scope="module")
-def batching_server():
-    """Threaded server with dynamic batching on the tiny random model."""
+def batching_server(tmp_path_factory):
+    """Threaded server with dynamic batching on the tiny random model.
+
+    Uses a 64x64 og_beat seed (like tests/test_server.py) so the batched
+    program compiles/executes at tiny geometry — with the real 512x512
+    seed_images/ this one test cost ~37 s of the suite."""
+    import numpy as np
+    from PIL import Image as PILImage
+
     import riffusion_tpu.server as srv
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
     from riffusion_tpu.serving import DynamicBatcher
 
+    seed_dir = tmp_path_factory.mktemp("seeds")
+    rng = np.random.default_rng(0)
+    PILImage.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        seed_dir / "og_beat.png"
+    )
     srv.PIPELINE = RiffusionPipeline.load_checkpoint("random:tiny", device="cpu")
-    server = srv.RiffusionThreadingServer(("127.0.0.1", 0))
+    server = srv.RiffusionThreadingServer(("127.0.0.1", 0), seed_images_dir=seed_dir)
     server.batcher = DynamicBatcher(srv.PIPELINE, max_batch=4, window_ms=400)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -242,7 +254,8 @@ def test_live_concurrent_requests_batched(batching_server):
         assert status == 200
         assert payload["image"].startswith("data:image/jpeg;base64,")
         assert payload["audio"].startswith("data:audio/")
-        assert payload["duration_s"] > 1.0
+        # 64x64 seed -> ~0.6 s clip (duration scales with spectrogram width)
+        assert payload["duration_s"] > 0.3
     stats = server.batcher.stats
     assert stats["requests"] >= 2
     # the two concurrent requests shared one device launch
