@@ -283,6 +283,76 @@ def text_to_audio(
         print(f"Wrote {image}")
 
 
+def finetune(
+    *,
+    checkpoint: str,
+    output_dir: str,
+    audio_dir: str = "",
+    dataset_dir: str = "",
+    prompt: str = "",
+    prompts_json: str = "",
+    steps: int = 1000,
+    batch_size: int = 4,
+    learning_rate: float = 1e-5,
+    ema_decay: float = 0.999,
+    checkpoint_every: int = 500,
+    clip_duration_ms: int = 5120,
+    num_frequencies: int = 512,
+    seed: int = 0,
+    device: str = "tpu",
+) -> None:
+    """Fine-tune the UNet on a directory of audio (no reference equivalent:
+    the reference is inference-only; its checkpoint was fine-tuned elsewhere).
+    Builds the latent dataset if needed, trains with EMA + resume, and exports
+    a checkpoint loadable with --checkpoint <output-dir>/export."""
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+    from riffusion_tpu.training import (
+        FinetuneConfig,
+        build_latent_dataset,
+        run_finetune,
+    )
+
+    if not audio_dir and not dataset_dir:
+        raise SystemExit("finetune: pass --audio-dir and/or --dataset-dir")
+    dataset_path = Path(dataset_dir) if dataset_dir else Path(output_dir) / "dataset"
+    if not (dataset_path / "meta.json").exists():
+        if not audio_dir:
+            raise SystemExit(f"no dataset at {dataset_path} and no --audio-dir given")
+        print(f"Building latent dataset from {audio_dir} into {dataset_path} ...")
+        pipeline = RiffusionPipeline.load_checkpoint(checkpoint, device=device)
+        meta = build_latent_dataset(
+            pipeline,
+            audio_dir,
+            dataset_path,
+            params=SpectrogramParams(num_frequencies=num_frequencies),
+            prompts_json=prompts_json or None,
+            default_prompt=prompt or None,
+            clip_duration_ms=clip_duration_ms,
+            seed=seed,
+        )
+        print(f"Dataset: {meta.num_clips} clips, {len(meta.prompts)} unique prompts")
+        del pipeline  # release device memory before training starts
+
+    stats = run_finetune(
+        FinetuneConfig(
+            checkpoint=checkpoint,
+            dataset_dir=str(dataset_path),
+            output_dir=output_dir,
+            steps=steps,
+            batch_size=batch_size,
+            learning_rate=learning_rate,
+            ema_decay=ema_decay,
+            checkpoint_every=checkpoint_every,
+            seed=seed,
+        )
+    )
+    print(
+        f"Fine-tune done: {stats['steps']} steps, loss "
+        f"{stats['first_loss']:.5f} -> {stats['final_loss']:.5f}; "
+        f"export at {stats['export_dir']}"
+    )
+
+
 # ----------------------------------------------------------------- dispatch
 
 _COMMANDS = [
@@ -293,6 +363,7 @@ _COMMANDS = [
     print_exif,
     audio_to_images_batch,
     sample_clips_batch,
+    finetune,
 ]
 
 

@@ -72,7 +72,7 @@ class DiffusionTrainer:
         self,
         unet_config: UNetConfig,
         mesh: Mesh,
-        learning_rate: float = 1e-5,
+        learning_rate: T.Union[float, T.Callable] = 1e-5,  # float or optax schedule
         weight_decay: float = 1e-2,
         noise_config: sched.NoiseConfig = sched.NoiseConfig(),
         dtype=jnp.bfloat16,
@@ -88,6 +88,18 @@ class DiffusionTrainer:
 
     # ------------------------------------------------------------------ setup
 
+    def init_from(self, params):
+        """Adopt existing UNet params (e.g. a loaded checkpoint bundle's):
+        cast to fp32 master weights, place with the tensor-parallel layout,
+        and init matching optimizer state. Used by training/finetune.py."""
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+        params = shard_params(params, self.mesh)
+        # eager init: zeros_like follows each param's NamedSharding, so the
+        # optimizer moments land sharded on the mesh (jit-wrapping tx.init
+        # instead commits everything to the default device)
+        opt_state = self.tx.init(params)
+        return params, opt_state
+
     def init(self, key: jax.Array, seq_len: int = 77):
         """Initialize sharded params + optimizer state."""
         s = self.cfg.sample_size
@@ -95,10 +107,8 @@ class DiffusionTrainer:
         ctx = jnp.zeros((1, seq_len, self.cfg.cross_attention_dim), jnp.float32)
         params = self.unet.init(key, latents, jnp.zeros((1,), jnp.int32), ctx)["params"]
         params = shard_params(params, self.mesh)
-        opt_state = jax.jit(
-            self.tx.init,
-            out_shardings=None,  # follow param shardings via propagation
-        )(params)
+        # eager init so the moments follow param shardings (see init_from)
+        opt_state = self.tx.init(params)
         return params, opt_state
 
     # ------------------------------------------------------------------- step

@@ -187,3 +187,37 @@ def test_text_to_audio_command(tmp_path):
     with wave.open(str(audio)) as w:
         data = np.frombuffer(w.readframes(w.getnframes()), np.int16)
     assert np.abs(data).max() > 1000
+
+
+def test_finetune_command(tmp_path):
+    """CLI finetune: builds the latent dataset from audio, trains 1 step,
+    exports a loadable checkpoint (same tiny geometry as tests/test_finetune.py
+    so the trainer program comes from the compile cache)."""
+    import json
+
+    import numpy as np
+
+    from riffusion_tpu.audio.segment import AudioSegment
+    from riffusion_tpu.cli import main
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    sr = 44100
+    t = np.arange(int(sr * 1.5)) / sr
+    for i in (0, 1):  # 2 files x 2 clips of 640 ms -> 4 clips
+        wave_f = 0.4 * np.sin(2 * np.pi * (200 + 100 * i) * t)
+        AudioSegment((wave_f * 32767).astype(np.int16), sr).export(
+            str(audio_dir / f"song_{i}.wav"), format="wav"
+        )
+    out = tmp_path / "run"
+    main([
+        "finetune", "--checkpoint", "random:tiny",
+        "--audio-dir", str(audio_dir), "--output-dir", str(out),
+        "--prompt", "test tone", "--steps", "1", "--batch-size", "4",
+        "--clip-duration-ms", "640", "--num-frequencies", "64",
+        "--checkpoint-every", "10", "--device", "cpu",
+    ])
+    meta = json.loads((out / "dataset" / "meta.json").read_text())
+    assert meta["num_clips"] == 4
+    assert meta["prompts"] == ["test tone"]
+    assert (out / "export" / "riffusion_tpu.json").exists()
