@@ -28,7 +28,7 @@ import numpy as np
 
 Array = jax.Array
 
-SCHEDULER_NAMES = ("pndm", "ddim", "lms", "euler", "euler_a", "dpmpp")
+SCHEDULER_NAMES = ("pndm", "ddim", "lms", "euler", "euler_a", "dpmpp", "dpmpp_k")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +89,26 @@ def _interp_sigmas(noise: NoiseConfig, num_steps: int) -> T.Tuple[np.ndarray, np
     sigmas_full = ((1 - acp) / acp) ** 0.5
     t = np.linspace(0, noise.num_train_timesteps - 1, num_steps, dtype=np.float64)[::-1]
     sigmas = np.interp(t, np.arange(len(sigmas_full)), sigmas_full)
+    return t, np.concatenate([sigmas, [0.0]])
+
+
+def _karras_sigmas(
+    noise: NoiseConfig, num_steps: int, rho: float = 7.0
+) -> T.Tuple[np.ndarray, np.ndarray]:
+    """Karras et al. (2022, arXiv:2206.00364 eq. 5) rho-spaced sigma schedule
+    over the model's trained sigma range. Spends more steps at low sigma than
+    the linear-in-t grid, which is where few-step solver error concentrates —
+    the standard few-step schedule (k-diffusion get_sigmas_karras). Timesteps
+    for the discretely-conditioned UNet come from inverting the training
+    sigma curve in log-sigma space. Returns (t float descending, sigmas
+    descending with final 0)."""
+    acp = noise.alphas_cumprod
+    sigmas_full = ((1 - acp) / acp) ** 0.5
+    sigma_min, sigma_max = float(sigmas_full[0]), float(sigmas_full[-1])
+    ramp = np.linspace(0, 1, num_steps, dtype=np.float64)
+    min_inv, max_inv = sigma_min ** (1 / rho), sigma_max ** (1 / rho)
+    sigmas = (max_inv + ramp * (min_inv - max_inv)) ** rho  # descending
+    t = np.interp(np.log(sigmas), np.log(sigmas_full), np.arange(len(sigmas_full)))
     return t, np.concatenate([sigmas, [0.0]])
 
 
@@ -335,8 +355,15 @@ def _euler_a_step(plan, state, i, model_output, sample):
 # ------------------------------------------------------------- DPM-Solver++ 2M
 
 
-def _make_dpmpp_plan(noise: NoiseConfig, num_steps: int, t_start: int = 0) -> SchedulerPlan:
-    t, sigmas = _interp_sigmas(noise, num_steps)
+def _make_dpmpp_plan(
+    noise: NoiseConfig, num_steps: int, t_start: int = 0, karras: bool = False
+) -> SchedulerPlan:
+    """DPM-Solver++(2M) plan. `karras=True` (the "dpmpp_k" scheduler id) swaps
+    the linear-in-t sigma grid for the Karras rho=7 schedule — same stepper,
+    same plan name (every downstream dispatch is on the math family), denser
+    low-sigma coverage so ~20 steps integrate the flow ODE as accurately as
+    ~28 linear steps (benchmarks/sampler_agreement.py measures this)."""
+    t, sigmas = (_karras_sigmas if karras else _interp_sigmas)(noise, num_steps)
     t = t[t_start:]
     sigmas = sigmas[t_start:]
     # alpha/sigma decomposition: x = alpha x0 + sigma_vp eps with
@@ -394,6 +421,7 @@ _MAKERS: T.Dict[str, T.Callable[..., SchedulerPlan]] = {
     "euler": lambda n, s, t_start=0: _make_euler_plan(n, s, ancestral=False, t_start=t_start),
     "euler_a": lambda n, s, t_start=0: _make_euler_plan(n, s, ancestral=True, t_start=t_start),
     "dpmpp": _make_dpmpp_plan,
+    "dpmpp_k": lambda n, s, t_start=0: _make_dpmpp_plan(n, s, t_start=t_start, karras=True),
 }
 
 _STEPPERS = {
@@ -409,7 +437,7 @@ _STEPPERS = {
 #: rather than DDPM space (x = sqrt(a)*x0 + sqrt(1-a)*eps). Their forward
 #: noising must use `add_noise_sigma`, mirroring how each diffusers scheduler
 #: owns its add_noise (the reference delegates at riffusion_pipeline.py:379).
-SIGMA_BASED = ("lms", "euler", "euler_a", "dpmpp")
+SIGMA_BASED = ("lms", "euler", "euler_a", "dpmpp", "dpmpp_k")
 _SIGMA_BASED = SIGMA_BASED
 
 

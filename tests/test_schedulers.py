@@ -189,6 +189,58 @@ def test_scan_compatible():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_karras_sigma_grid_properties():
+    """dpmpp_k: the Karras rho=7 grid must span the training sigma range,
+    descend strictly, end at 0, and follow the closed-form rho spacing; its
+    timesteps must be the log-sigma inversion of the training curve."""
+    noise = sched.NoiseConfig()
+    plan = sched.make_plan("dpmpp_k", 20)
+    sigmas = plan.coeffs["sigmas"]
+    acp = noise.alphas_cumprod
+    sigmas_full = ((1 - acp) / acp) ** 0.5
+
+    assert sigmas[-1] == 0.0
+    np.testing.assert_allclose(sigmas[0], sigmas_full[-1], rtol=1e-6)
+    np.testing.assert_allclose(sigmas[-2], sigmas_full[0], rtol=1e-6)
+    assert np.all(np.diff(sigmas) < 0)
+
+    # closed-form Karras spacing (arXiv:2206.00364 eq. 5), rho = 7
+    rho = 7.0
+    ramp = np.linspace(0, 1, 20)
+    expect = (
+        sigmas_full[-1] ** (1 / rho) + ramp * (sigmas_full[0] ** (1 / rho) - sigmas_full[-1] ** (1 / rho))
+    ) ** rho
+    np.testing.assert_allclose(sigmas[:-1], expect, rtol=1e-5)
+
+    # timesteps: descending, in range, and consistent with the sigma curve
+    ts = plan.timesteps
+    assert np.all(np.diff(ts) <= 0)
+    assert ts[0] <= noise.num_train_timesteps - 1 and ts[-1] >= 0
+    t_exact = np.interp(np.log(expect), np.log(sigmas_full), np.arange(len(sigmas_full)))
+    np.testing.assert_allclose(ts, np.round(t_exact), atol=1)
+
+
+def test_dpmpp_k_low_step_beats_pndm_50():
+    """Karras-grid FAST preset gate: dpmpp_k at 20 steps must recover the
+    clean signal at least as accurately as 50-step PNDM under the exact-eps
+    oracle — the same bar the dpmpp-28 preset passes, at ~1.4x fewer evals."""
+    key = jax.random.PRNGKey(5)
+    x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
+
+    out_fast = _run_reverse("dpmpp_k", 20, x0, key)
+    err_fast = float(jnp.max(jnp.abs(out_fast - x0)))
+
+    out_parity = _run_reverse("pndm", 50, x0, key)
+    f = sched.NoiseConfig().final_alpha_cumprod
+    noise = jax.random.normal(key, x0.shape)
+    expected_parity = np.sqrt(f) * x0 + np.sqrt(1 - f) * noise
+    err_parity = float(jnp.max(jnp.abs(out_parity - expected_parity)))
+
+    assert err_fast <= max(err_parity, 2e-2), (
+        f"dpmpp_k-20 err {err_fast} worse than pndm-50 err {err_parity}"
+    )
+
+
 def test_dpmpp_low_step_beats_pndm_50():
     """Serving FAST preset gate (serving.FAST_PRESET): dpmpp at 28 steps must
     recover the clean signal at least as accurately as 50-step PNDM — the
