@@ -1,0 +1,109 @@
+"""
+Sampler-agreement sweep: how many steps does each scheduler need to land on
+the probability-flow ODE's true endpoint?
+
+Method: txt2img with a FIXED seed gives every sigma-space sampler the exact
+same initial latent x_T = sigma_max * eps and the same drift field (the UNet
+with fixed weights defines a deterministic ODE, whether the weights are
+trained or random — random:full has the real model geometry, so the drift
+has realistic conditioning/stiffness). A very-high-step run (dpmpp-200) is
+the gold endpoint; each candidate (scheduler, steps) config is scored by the
+relative L2 distance of its decoded image to gold. That isolates SOLVER
+integration error — the one thing the serving FAST preset trades against
+throughput (serving.FAST_PRESET) — from any perceptual judgment.
+
+The reference has no analogue (diffusers schedulers are trusted as-is); its
+own quality bar is "~50-step results in <5 s" (reference README.md:80-81),
+so 50-step PNDM-family error is the parity bar a FAST config must beat.
+
+Run solo:  python benchmarks/sampler_agreement.py [--checkpoint random:full]
+           [--size 512] [--json out.json]
+CPU smoke: JAX_PLATFORMS=cpu python benchmarks/sampler_agreement.py \
+           --checkpoint random:tiny --size 64 --gold-steps 64
+
+(Measured numbers are appended below by the actual run before any preset
+decision is made from them.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+#: (scheduler, steps) grid scored against gold. pndm-50 is the reference
+#: parity bar; the rest map the step-count/accuracy frontier around it.
+CONFIGS = [
+    ("ddim", 50),
+    ("pndm", 50),
+    ("euler", 50),
+    ("dpmpp", 28),
+    ("dpmpp", 20),
+    ("dpmpp_k", 24),
+    ("dpmpp_k", 20),
+    ("dpmpp_k", 16),
+]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", default="random:full")
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--gold-steps", type=int, default=200)
+    parser.add_argument("--gold-scheduler", default="dpmpp")
+    parser.add_argument("--seeds", type=int, nargs="+", default=[42, 43, 44])
+    parser.add_argument("--json", default=None, help="also write results to this path")
+    args = parser.parse_args()
+
+    import jax
+
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    pipe = RiffusionPipeline.load_checkpoint(args.checkpoint)
+    prompt = "funky synth solo"
+
+    def image_f32(scheduler: str, steps: int, seed: int) -> np.ndarray:
+        img = pipe.txt2img(
+            prompt, seed=seed, num_inference_steps=steps,
+            width=args.size, height=args.size, scheduler=scheduler,
+        )
+        return np.asarray(img, np.float64) / 255.0
+
+    golds = {}
+    for seed in args.seeds:
+        golds[seed] = image_f32(args.gold_scheduler, args.gold_steps, seed)
+        print(f"gold {args.gold_scheduler}-{args.gold_steps} seed {seed} done",
+              file=sys.stderr)
+
+    results = []
+    for scheduler, steps in CONFIGS:
+        errs = []
+        for seed in args.seeds:
+            img = image_f32(scheduler, steps, seed)
+            gold = golds[seed]
+            rel_l2 = float(np.linalg.norm(img - gold) / np.linalg.norm(gold))
+            errs.append(rel_l2)
+        mean_err = float(np.mean(errs))
+        results.append({
+            "scheduler": scheduler, "steps": steps,
+            "rel_l2_vs_gold": round(mean_err, 6),
+            "per_seed": [round(e, 6) for e in errs],
+        })
+        print(f"{scheduler}-{steps}: rel_l2 {mean_err:.4f}  {errs}", file=sys.stderr)
+
+    parity = next(r for r in results if r["scheduler"] == "pndm" and r["steps"] == 50)
+    for r in results:
+        r["beats_parity_bar"] = r["rel_l2_vs_gold"] <= parity["rel_l2_vs_gold"]
+    print(json.dumps(results, indent=2))
+    if args.json:
+        Path(args.json).write_text(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,9 @@ import numpy as np
 
 Array = jax.Array
 
-SCHEDULER_NAMES = ("pndm", "ddim", "lms", "euler", "euler_a", "dpmpp", "dpmpp_k")
+SCHEDULER_NAMES = (
+    "pndm", "ddim", "lms", "euler", "euler_a", "dpmpp", "dpmpp_k", "unipc", "unipc_k"
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -370,12 +372,17 @@ def _make_dpmpp_plan(
     # alpha = 1/sqrt(1+sigma^2) (k-diffusion sigma), lambda = -log(sigma_vp/alpha)
     sig = np.maximum(sigmas, 1e-10)
     lam = -np.log(sig)
+    # The final step reaches sigma=0, i.e. h -> inf in lambda space: the 2M
+    # extrapolation coefficient 1/(2r) = h/(2 h_last) blows up to ~40x there,
+    # amplifying x0-prediction noise. Drop to first order (x = x0) on any
+    # step whose target sigma is 0 — k-diffusion's dpmpp_2m does the same.
+    first_order = (sigmas[1:] == 0.0).astype(np.float32)
     return SchedulerPlan(
         name="dpmpp",
         num_inference_steps=num_steps,
         timesteps=np.round(t).astype(np.int32),
         coeffs={"sigmas": sigmas.astype(np.float32), "lam": lam.astype(np.float32),
-                "t_float": t.astype(np.float32)},
+                "t_float": t.astype(np.float32), "first_order": first_order},
         init_noise_sigma=float(np.max(sigmas)),
         history=2,
     )
@@ -399,8 +406,9 @@ def _dpmpp_step(plan, state, i, model_output, sample):
     sigma_prev = sigmas[jnp.maximum(i - 1, 0)]
     h_last = t_cur - t_fn(sigma_prev)
     r = h_last / jnp.where(h == 0, 1.0, h)
+    use_2m = (state["has_prev"] > 0) & (jnp.asarray(plan.coeffs["first_order"])[i] == 0)
     x0_d = jnp.where(
-        state["has_prev"] > 0,
+        use_2m,
         (1 + 1 / (2 * jnp.maximum(r, 1e-5))) * x0 - (1 / (2 * jnp.maximum(r, 1e-5))) * state["x0_prev"],
         x0,
     )
@@ -409,6 +417,130 @@ def _dpmpp_step(plan, state, i, model_output, sample):
     ratio = sigma_next / jnp.maximum(sigma, 1e-10)
     prev = ratio * sample - jnp.expm1(-h) * x0_d
     return prev, {"x0_prev": x0, "has_prev": jnp.ones((), jnp.float32)}
+
+
+# ------------------------------------------------------ UniPC (predictor-corrector)
+
+
+def _exp_lagrange_weights(t_nodes: np.ndarray, t_a: float, t_b: float) -> np.ndarray:
+    """Weights w_j = int_{t_a}^{t_b} e^{s - t_b} L_j(s) ds, where L_j is the
+    Lagrange basis over `t_nodes`. These are the exact exponential-integrator
+    quadrature weights for x' = x0(t) - x (the probability-flow ODE in
+    lambda = -log(sigma) space, data prediction): a polynomial model of x0
+    over the nodes integrates to sum_j w_j x0_j. They satisfy
+    sum_j w_j = 1 - e^{-(t_b - t_a)}, so a constant x0 is recovered exactly.
+    Same host-side scipy.quad pattern as the LMS plan above."""
+    from scipy import integrate
+
+    k = len(t_nodes)
+    w = np.zeros(k, np.float64)
+    for j in range(k):
+
+        def basis(s, j=j):
+            prod = np.exp(s - t_b)
+            for m in range(k):
+                if m == j:
+                    continue
+                prod *= (s - t_nodes[m]) / (t_nodes[j] - t_nodes[m])
+            return prod
+
+        w[j] = integrate.quad(basis, t_a, t_b, epsrel=1e-10)[0]
+    return w
+
+
+def _make_unipc_plan(
+    noise: NoiseConfig, num_steps: int, t_start: int = 0,
+    karras: bool = False, order: int = 2,
+) -> SchedulerPlan:
+    """UniPC-style exponential predictor-corrector (Zhao et al. 2023,
+    arXiv:2302.04867 structure; coefficients here are the exact
+    exponential-Adams weights rather than the paper's B(h) family).
+
+    Per step: an order-`order` Adams-Bashforth predictor over the x0-
+    prediction history, then — at the NEXT model evaluation — an
+    order-(`order`+1) Adams-Moulton corrector that re-integrates the step
+    just taken including the new x0, at zero extra UNet evaluations. The
+    corrector is the free-lunch accuracy term: each model output is used
+    both to refine the step that produced it and to predict the next one.
+
+    All scalar coefficients depend only on the sigma grid, so they are
+    precomputed into plan arrays (newest-first ring layout) and the jitted
+    step is two weighted sums — no runtime linear solves like diffusers'
+    UniPCMultistepScheduler (the reference never shipped UniPC; this is a
+    capability extension motivated by throughput-per-quality).
+    """
+    t, sigmas = (_karras_sigmas if karras else _interp_sigmas)(noise, num_steps)
+    t = t[t_start:]
+    sigmas = sigmas[t_start:]
+    s = len(t)
+    lam = -np.log(np.maximum(sigmas, 1e-10))
+
+    ring = order + 1  # corrector uses up to order+1 nodes (incl. the new x0)
+    pred_w = np.zeros((s, ring), np.float64)
+    corr_w = np.zeros((s, ring), np.float64)
+    pred_ratio = np.zeros(s, np.float64)
+    corr_ratio = np.zeros(s, np.float64)
+    corr_on = np.zeros(s, np.float64)
+
+    for i in range(s):
+        # predictor for [t_i, t_{i+1}] over nodes {t_i, t_{i-1}, ...}
+        pred_ratio[i] = sigmas[i + 1] / sigmas[i]
+        if sigmas[i + 1] == 0.0:
+            # h -> inf: polynomial extrapolation diverges; exact limit is the
+            # newest x0 (same first-order rule as the dpmpp final step)
+            pred_w[i, 0] = 1.0
+        else:
+            k_p = min(i + 1, order)
+            nodes = lam[i - np.arange(k_p)]  # newest first
+            pred_w[i, :k_p] = _exp_lagrange_weights(nodes, lam[i], lam[i + 1])
+        # corrector re-integrates [t_{i-1}, t_i] over nodes {t_i, t_{i-1}, ...}
+        if i >= 1:
+            corr_on[i] = 1.0
+            corr_ratio[i] = sigmas[i] / sigmas[i - 1]
+            k_c = min(i + 1, ring)
+            nodes = lam[i - np.arange(k_c)]  # newest first: x0_i is node 0
+            corr_w[i, :k_c] = _exp_lagrange_weights(nodes, lam[i - 1], lam[i])
+
+    return SchedulerPlan(
+        name="unipc",
+        num_inference_steps=num_steps,
+        timesteps=np.round(t).astype(np.int32),
+        coeffs={
+            "sigmas": sigmas.astype(np.float32),
+            "t_float": t.astype(np.float32),
+            "pred_w": pred_w.astype(np.float32),
+            "corr_w": corr_w.astype(np.float32),
+            "pred_ratio": pred_ratio.astype(np.float32),
+            "corr_ratio": corr_ratio.astype(np.float32),
+            "corr_on": corr_on.astype(np.float32),
+        },
+        init_noise_sigma=float(np.max(sigmas)),
+        history=ring,
+    )
+
+
+def _unipc_init_state(plan, shape, dtype):
+    ring = int(plan.history)
+    return {
+        "x0_ring": jnp.zeros((ring,) + tuple(shape), dtype),
+        "sample_prev": jnp.zeros(shape, dtype),
+    }
+
+
+def _unipc_step(plan, state, i, model_output, sample):
+    """Correct the previous step with the fresh x0, then predict the next."""
+    c = {k: jnp.asarray(v) for k, v in plan.coeffs.items()}
+    sigma = c["sigmas"][i]
+    x0 = sample - sigma * model_output
+    ring = jnp.concatenate([x0[None], state["x0_ring"][:-1]], axis=0)
+
+    corrected = c["corr_ratio"][i] * state["sample_prev"] + jnp.tensordot(
+        c["corr_w"][i], ring, axes=1
+    )
+    x_i = jnp.where(c["corr_on"][i] > 0, corrected, sample)
+
+    x_next = c["pred_ratio"][i] * x_i + jnp.tensordot(c["pred_w"][i], ring, axes=1)
+    return x_next, {"x0_ring": ring, "sample_prev": x_i}
 
 
 # ----------------------------------------------------------------- interface
@@ -422,6 +554,8 @@ _MAKERS: T.Dict[str, T.Callable[..., SchedulerPlan]] = {
     "euler_a": lambda n, s, t_start=0: _make_euler_plan(n, s, ancestral=True, t_start=t_start),
     "dpmpp": _make_dpmpp_plan,
     "dpmpp_k": lambda n, s, t_start=0: _make_dpmpp_plan(n, s, t_start=t_start, karras=True),
+    "unipc": _make_unipc_plan,
+    "unipc_k": lambda n, s, t_start=0: _make_unipc_plan(n, s, t_start=t_start, karras=True),
 }
 
 _STEPPERS = {
@@ -431,13 +565,14 @@ _STEPPERS = {
     "euler": _euler_step,
     "euler_a": _euler_a_step,
     "dpmpp": _dpmpp_step,
+    "unipc": _unipc_step,
 }
 
 #: Schedulers whose step() operates in k-diffusion sigma space (x = x0 + sigma*eps)
 #: rather than DDPM space (x = sqrt(a)*x0 + sqrt(1-a)*eps). Their forward
 #: noising must use `add_noise_sigma`, mirroring how each diffusers scheduler
 #: owns its add_noise (the reference delegates at riffusion_pipeline.py:379).
-SIGMA_BASED = ("lms", "euler", "euler_a", "dpmpp", "dpmpp_k")
+SIGMA_BASED = ("lms", "euler", "euler_a", "dpmpp", "dpmpp_k", "unipc", "unipc_k")
 _SIGMA_BASED = SIGMA_BASED
 
 
@@ -462,6 +597,8 @@ def init_state(plan: SchedulerPlan, shape, dtype=jnp.float32, key: T.Optional[Ar
         return _lms_init_state(plan, shape, dtype)
     if plan.name == "dpmpp":
         return _dpmpp_init_state(plan, shape, dtype)
+    if plan.name == "unipc":
+        return _unipc_init_state(plan, shape, dtype)
     if plan.name == "euler_a":
         assert key is not None, "euler_a needs a PRNG key in its state"
         return {"key": key}

@@ -30,8 +30,12 @@ AUDIO_EXTENSIONS = ["mp3", "wav", "flac", "webm", "m4a", "ogg"]
 IMAGE_EXTENSIONS = ["png", "jpg", "jpeg"]
 
 # Same option strings as the reference UI; mapped to the JAX schedulers.
+# "(Karras)" is a TPU-framework extension: the same DPM-Solver++(2M) stepper
+# on the Karras rho=7 sigma grid (schedulers._karras_sigmas), which reaches
+# 50-step quality in ~20 steps (benchmarks/sampler_agreement.py).
 SCHEDULER_OPTIONS = [
     "DPMSolverMultistepScheduler",
+    "DPMSolverMultistepScheduler (Karras)",
     "PNDMScheduler",
     "DDIMScheduler",
     "LMSDiscreteScheduler",
@@ -41,6 +45,7 @@ SCHEDULER_OPTIONS = [
 
 _SCHEDULER_MAP = {
     "DPMSolverMultistepScheduler": "dpmpp",
+    "DPMSolverMultistepScheduler (Karras)": "dpmpp_k",
     "PNDMScheduler": "pndm",
     "DDIMScheduler": "ddim",
     "LMSDiscreteScheduler": "lms",

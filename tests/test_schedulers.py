@@ -241,6 +241,95 @@ def test_dpmpp_k_low_step_beats_pndm_50():
     )
 
 
+@pytest.mark.parametrize("name", ["dpmpp", "dpmpp_k"])
+def test_dpmpp_final_step_is_first_order(name):
+    """The step to sigma=0 is h -> inf in lambda space, where the 2M
+    extrapolation coefficient 1/(2r) = h/(2*h_last) reaches ~40x and
+    amplifies x0-prediction disagreement. The final step must return the
+    NEWEST x0 prediction exactly (first order), not an extrapolation —
+    k-diffusion's dpmpp_2m convention."""
+    plan = sched.make_plan(name, 6)
+    sigmas = plan.coeffs["sigmas"]
+    last = plan.num_steps - 1
+    assert sigmas[last + 1] == 0.0
+
+    state = sched.init_state(plan, SHAPE)
+    x0_a = jnp.full(SHAPE, 1.0)
+    x0_b = jnp.full(SHAPE, 3.0)
+    sample = jnp.full(SHAPE, 5.0)
+
+    # penultimate step: seed the history with x0_a
+    eps = (sample - x0_a) / sigmas[last - 1]
+    sample, state = sched.step(plan, state, jnp.asarray(last - 1), eps, sample)
+    assert float(state["has_prev"]) == 1.0
+
+    # final step: model predicts x0_b; extrapolation would give ~40x
+    # amplification of (x0_b - x0_a), first order gives exactly x0_b
+    eps = (sample - x0_b) / sigmas[last]
+    out, _ = sched.step(plan, state, jnp.asarray(last), eps, sample)
+    np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-5)
+
+
+def _run_quadratic_ode(name: str, num_steps: int) -> float:
+    """Integrate the probability-flow ODE dx/dt = x0(t) - x (t = -log sigma,
+    data-prediction form — the space every sigma-based stepper works in) with
+    the time-varying oracle x0(t) = t^2, which has the closed-form solution
+    x(t) = t^2 - 2t + 2 + C e^{-t}. Unlike the constant-x0 oracle (exact for
+    ANY correct stepper), a quadratic x0 exposes each solver's truncation
+    order. The final step to sigma=0 is excluded (x0(t->inf) diverges there
+    by construction). Returns max relative error at the last finite sigma."""
+    plan = sched.make_plan(name, num_steps)
+    sigmas = plan.coeffs["sigmas"]
+    ts = -np.log(np.maximum(sigmas, 1e-10))
+
+    def x0_of(t):
+        return t * t
+
+    def exact(t, c):
+        return t * t - 2 * t + 2 + c * np.exp(-t)
+
+    t0 = ts[0]
+    c = 5.0  # transient amplitude
+    x = jnp.full(SHAPE, exact(t0, c))
+    state = sched.init_state(plan, SHAPE, key=jax.random.PRNGKey(0))
+    for i in range(plan.num_steps - 1):  # stop before the sigma=0 step
+        eps = (x - x0_of(ts[i])) / sigmas[i]
+        x, state = sched.step(plan, state, jnp.asarray(i), eps, x)
+    want = exact(ts[plan.num_steps - 1], c)
+    return float(jnp.max(jnp.abs(x - want)) / abs(want))
+
+
+def test_unipc_corrector_beats_dpmpp():
+    """The Adams-Moulton corrector (3 nodes, exact on quadratics) must
+    integrate a quadratic-x0 flow more accurately than the pure 2M predictor
+    at equal step count, on both sigma grids."""
+    # absolute bounds track the grids' terminal lambda-step sizes: the
+    # linear-in-t grid ends with h ~ 2.4 (large truncation error for ANY
+    # multistep method there), the Karras grid with h ~ 0.6 — which is the
+    # measured reason Karras grids dominate at low step counts
+    for pc, p, bound in (("unipc", "dpmpp", 0.5), ("unipc_k", "dpmpp_k", 0.1)):
+        err_pc = _run_quadratic_ode(pc, 12)
+        err_p = _run_quadratic_ode(p, 12)
+        assert err_pc < err_p, f"{pc} {err_pc} !< {p} {err_p}"
+        assert err_pc < bound, f"{pc} err {err_pc} above {bound}"
+
+
+def test_unipc_weights_sum_rule():
+    """Exactness on constants: predictor weights sum to 1 - sigma_next/sigma
+    and corrector weights to 1 - sigma/sigma_prev (the integral of e^{s-t_b}),
+    the invariant that makes the exact-eps oracle recover x0 bit-tight."""
+    plan = sched.make_plan("unipc_k", 10)
+    sig = plan.coeffs["sigmas"]
+    for i in range(plan.num_steps):
+        np.testing.assert_allclose(
+            plan.coeffs["pred_w"][i].sum(), 1.0 - sig[i + 1] / sig[i], rtol=1e-5
+        )
+        if i >= 1:
+            np.testing.assert_allclose(
+                plan.coeffs["corr_w"][i].sum(), 1.0 - sig[i] / sig[i - 1], rtol=1e-5
+            )
+
+
 def test_dpmpp_low_step_beats_pndm_50():
     """Serving FAST preset gate (serving.FAST_PRESET): dpmpp at 28 steps must
     recover the clean signal at least as accurately as 50-step PNDM — the

@@ -75,7 +75,7 @@ def test_scheduler_option_mapping():
 
     for option in streamlit_util.SCHEDULER_OPTIONS:
         name = streamlit_util.scheduler_name(option)
-        assert name in ("pndm", "ddim", "lms", "euler", "euler_a", "dpmpp")
+        assert name in ("pndm", "ddim", "lms", "euler", "euler_a", "dpmpp", "dpmpp_k")
     with pytest.raises(ValueError):
         streamlit_util.scheduler_name("NopeScheduler")
 
@@ -150,6 +150,31 @@ def test_parse_prompt_attention():
     assert escaped == [["(literal)", 1.0]]
     unbalanced = parse_prompt_attention("(open")
     assert unbalanced == [["open", pytest.approx(1.1)]]
+
+
+def test_weighted_embeddings_zero_mean_guard():
+    """An embedding whose mean is exactly 0 must not NaN the mean-preserving
+    rescale (0/0): with all-1.0 weights the rescale ratio is 1 and the
+    embeddings pass through unchanged. Hit in the wild: a single-token prompt
+    on the tiny bundle produced a bit-exact zero mean, and the NaN silently
+    blanked the whole generation (uint8 cast of NaN -> all-black image)."""
+    import jax.numpy as jnp
+
+    from riffusion_tpu.external.prompt_weighting import get_weighted_text_embeddings
+    from riffusion_tpu.models.tokenizer import HashTokenizer
+
+    tok = HashTokenizer()
+    dim = 8
+
+    def encode_fn(ids):
+        # antisymmetric values over the feature axis -> mean exactly 0.0
+        base = jnp.arange(dim, dtype=jnp.float32) - (dim - 1) / 2.0
+        return jnp.broadcast_to(base, (ids.shape[0], ids.shape[1], dim))
+
+    emb, _ = get_weighted_text_embeddings(encode_fn, tok, "a")
+    assert bool(jnp.isfinite(emb).all()), "zero-mean rescale produced NaN"
+    base = jnp.arange(dim, dtype=jnp.float32) - (dim - 1) / 2.0
+    np.testing.assert_allclose(np.asarray(emb[0, 0]), np.asarray(base), rtol=1e-6)
 
 
 def test_tokenizer_hash_deterministic():
