@@ -1,6 +1,7 @@
 """
 JAX-native diffusion schedulers: DDIM, PNDM (PLMS), LMS, Euler,
-Euler-Ancestral, DPM-Solver++(2M).
+Euler-Ancestral, DPM-Solver++(2M) (linear and Karras grids), and a
+UniPC-style exponential predictor-corrector.
 
 TPU-first design: schedulers are split into a host-side *plan* (numpy arrays
 of per-step timesteps/coefficients, computed once per step count) and a pure

@@ -307,7 +307,8 @@ def run_app(
     With dynamic_batching=True, concurrent /run_inference/ requests are
     coalesced into one batched device program (serving.DynamicBatcher) —
     aggregate throughput instead of the reference's one-at-a-time model.
-    serving_preset (batching only): "fast" runs every request at dpmpp-28
+    serving_preset (batching only): "fast" runs every request at the
+    few-step FAST preset (serving.FAST_PRESET, unipc_k-16)
     (50-step quality per the scheduler convergence gate, ~1.8x throughput);
     "parity" honors each request's scheduler/steps verbatim."""
     logging.basicConfig(level=logging.INFO)
@@ -433,7 +434,8 @@ def main(argv: T.Optional[T.Sequence[str]] = None) -> None:
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--serving-preset", choices=("fast", "parity"), default="fast",
                         help="with --dynamic-batching: 'fast' runs requests at "
-                             "dpmpp-28 (50-step quality, ~1.8x throughput); "
+                             "the FAST preset (50-step quality at ~3x throughput, "
+                             "serving.FAST_PRESET); "
                              "'parity' honors each request's steps/scheduler")
     args = parser.parse_args(argv)
     run_app(

@@ -44,13 +44,19 @@ if T.TYPE_CHECKING:  # pragma: no cover
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
 
 
-#: Serving FAST preset: DPM-Solver++ multistep at 28 steps reaches the
-#: 50-step PNDM quality bar (exact-eps convergence gate in
-#: tests/test_schedulers.py::test_dpmpp_low_step_beats_pndm_50) with ~1.8x
-#: fewer UNet evaluations — throughput-per-quality, not throughput-per-step
-#: (the reference's own bar is quality in <5 s, README.md:80-81, not a step
-#: count). The PARITY preset honors each request verbatim.
-FAST_PRESET = {"scheduler": "dpmpp", "steps": 28}
+#: Serving FAST preset: the UniPC-style predictor-corrector on the Karras
+#: sigma grid at 16 steps — 3.1x fewer UNet evaluations than 50-step PNDM,
+#: 1.75x fewer than the previous dpmpp-28 preset. Quality evidence, both
+#: measured: (1) the exact-eps convergence gate
+#: (tests/test_schedulers.py::test_unipc_k_low_step_beats_pndm_50), and
+#: (2) the full-model sampler-agreement sweep
+#: (benchmarks/sampler_agreement.py): unipc_k-16 lands at rel-L2 0.0097
+#: from the dpmpp-200 gold — inside the band the reference's own 50-step
+#: schedulers span (pndm 0.0078, ddim 0.0093, euler 0.0095) and close to
+#: the 0.006 cross-grid convergence floor. Throughput-per-QUALITY, not
+#: per-step (the reference's bar is quality in <5 s, README.md:80-81).
+#: The PARITY preset honors each request verbatim.
+FAST_PRESET = {"scheduler": "unipc_k", "steps": 16}
 
 
 @dataclasses.dataclass
@@ -82,12 +88,11 @@ class DynamicBatcher:
         scheduler: T.Optional[str] = None,
         steps_override: T.Optional[int] = None,
     ):
-        """`scheduler`/`steps_override` implement the serving FAST preset:
-        DPM-Solver++ reaches 50-step quality in 25-30 steps (gated by the
-        exact-eps convergence test in tests/test_schedulers.py), so serving
-        deployments can run every request at e.g. dpmpp-28 for ~1.8x the
-        throughput. None = honor each request's own scheduler/steps (parity
-        with the reference's per-request semantics)."""
+        """`scheduler`/`steps_override` implement the serving FAST preset
+        (see FAST_PRESET above): a few-step sampler at 50-step quality, so
+        serving deployments can run every request at e.g. unipc_k-16 for
+        ~3x the throughput. None = honor each request's own scheduler/steps
+        (parity with the reference's per-request semantics)."""
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0

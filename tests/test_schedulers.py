@@ -241,6 +241,30 @@ def test_dpmpp_k_low_step_beats_pndm_50():
     )
 
 
+def test_unipc_k_low_step_beats_pndm_50():
+    """FAST preset gate (serving.FAST_PRESET = unipc_k-16): the Karras-grid
+    predictor-corrector at 16 steps must recover the clean signal at least as
+    accurately as 50-step PNDM under the exact-eps oracle, at 3.1x fewer UNet
+    evals. The measured full-model counterpart is the sampler-agreement sweep
+    (benchmarks/sampler_agreement.py): unipc_k-16 lands at the cross-grid
+    convergence floor alongside ddim-50/euler-50."""
+    key = jax.random.PRNGKey(5)
+    x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
+
+    out_fast = _run_reverse("unipc_k", 16, x0, key)
+    err_fast = float(jnp.max(jnp.abs(out_fast - x0)))
+
+    out_parity = _run_reverse("pndm", 50, x0, key)
+    f = sched.NoiseConfig().final_alpha_cumprod
+    noise = jax.random.normal(key, x0.shape)
+    expected_parity = np.sqrt(f) * x0 + np.sqrt(1 - f) * noise
+    err_parity = float(jnp.max(jnp.abs(out_parity - expected_parity)))
+
+    assert err_fast <= max(err_parity, 2e-2), (
+        f"unipc_k-16 err {err_fast} worse than pndm-50 err {err_parity}"
+    )
+
+
 @pytest.mark.parametrize("name", ["dpmpp", "dpmpp_k"])
 def test_dpmpp_final_step_is_first_order(name):
     """The step to sigma=0 is h -> inf in lambda space, where the 2M
