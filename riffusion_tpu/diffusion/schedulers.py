@@ -96,23 +96,51 @@ def _interp_sigmas(noise: NoiseConfig, num_steps: int) -> T.Tuple[np.ndarray, np
 
 
 def _karras_sigmas(
-    noise: NoiseConfig, num_steps: int, rho: float = 7.0
+    noise: NoiseConfig, num_steps: int, rho: float = 7.0,
+    sigma_max: T.Optional[float] = None,
 ) -> T.Tuple[np.ndarray, np.ndarray]:
     """Karras et al. (2022, arXiv:2206.00364 eq. 5) rho-spaced sigma schedule
-    over the model's trained sigma range. Spends more steps at low sigma than
-    the linear-in-t grid, which is where few-step solver error concentrates —
-    the standard few-step schedule (k-diffusion get_sigmas_karras). Timesteps
-    for the discretely-conditioned UNet come from inverting the training
-    sigma curve in log-sigma space. Returns (t float descending, sigmas
-    descending with final 0)."""
+    over the model's trained sigma range (or [sigma_min, sigma_max] when an
+    explicit top is given — the img2img case). Spends more steps at low sigma
+    than the linear-in-t grid, which is where few-step solver error
+    concentrates — the standard few-step schedule (k-diffusion
+    get_sigmas_karras). Timesteps for the discretely-conditioned UNet come
+    from inverting the training sigma curve in log-sigma space. Returns
+    (t float descending, sigmas descending with final 0)."""
     acp = noise.alphas_cumprod
     sigmas_full = ((1 - acp) / acp) ** 0.5
-    sigma_min, sigma_max = float(sigmas_full[0]), float(sigmas_full[-1])
+    sigma_min = float(sigmas_full[0])
+    if sigma_max is None:
+        sigma_max = float(sigmas_full[-1])
     ramp = np.linspace(0, 1, num_steps, dtype=np.float64)
     min_inv, max_inv = sigma_min ** (1 / rho), sigma_max ** (1 / rho)
     sigmas = (max_inv + ramp * (min_inv - max_inv)) ** rho  # descending
     t = np.interp(np.log(sigmas), np.log(sigmas_full), np.arange(len(sigmas_full)))
     return t, np.concatenate([sigmas, [0.0]])
+
+
+def _sliced_grid(
+    noise: NoiseConfig, num_steps: int, t_start: int, karras: bool
+) -> T.Tuple[np.ndarray, np.ndarray]:
+    """(t, sigmas) for the EXECUTED suffix of an img2img chain.
+
+    Linear grid: index slicing, which on that grid IS noise-level slicing
+    (timesteps are linear in index) — the reference's strength semantics
+    (interpolate_img2img, riffusion_pipeline.py:361-368). Karras grid: index
+    slicing would distort strength badly — the rho-spacing packs indices at
+    low sigma, so index t_start of a 16-step Karras grid sits at sigma ~36
+    where the linear grid sits at ~8, denoising far more than requested.
+    Instead anchor to the NOISE LEVEL: take the linear grid's sigma at
+    t_start as the top and respace the executed steps Karras-style below it,
+    so strength means the same thing on every scheduler and the serving FAST
+    preset (unipc_k) preserves request semantics."""
+    if karras and 0 < t_start < num_steps:
+        _, sig_lin = _interp_sigmas(noise, num_steps)
+        return _karras_sigmas(
+            noise, num_steps - t_start, sigma_max=float(sig_lin[t_start])
+        )
+    t, sigmas = (_karras_sigmas if karras else _interp_sigmas)(noise, num_steps)
+    return t[t_start:], sigmas[t_start:]
 
 
 # ---------------------------------------------------------------------- DDIM
@@ -366,9 +394,7 @@ def _make_dpmpp_plan(
     same plan name (every downstream dispatch is on the math family), denser
     low-sigma coverage so ~20 steps integrate the flow ODE as accurately as
     ~28 linear steps (benchmarks/sampler_agreement.py measures this)."""
-    t, sigmas = (_karras_sigmas if karras else _interp_sigmas)(noise, num_steps)
-    t = t[t_start:]
-    sigmas = sigmas[t_start:]
+    t, sigmas = _sliced_grid(noise, num_steps, t_start, karras)
     # alpha/sigma decomposition: x = alpha x0 + sigma_vp eps with
     # alpha = 1/sqrt(1+sigma^2) (k-diffusion sigma), lambda = -log(sigma_vp/alpha)
     sig = np.maximum(sigmas, 1e-10)
@@ -470,9 +496,7 @@ def _make_unipc_plan(
     UniPCMultistepScheduler (the reference never shipped UniPC; this is a
     capability extension motivated by throughput-per-quality).
     """
-    t, sigmas = (_karras_sigmas if karras else _interp_sigmas)(noise, num_steps)
-    t = t[t_start:]
-    sigmas = sigmas[t_start:]
+    t, sigmas = _sliced_grid(noise, num_steps, t_start, karras)
     s = len(t)
     lam = -np.log(np.maximum(sigmas, 1e-10))
 

@@ -66,6 +66,9 @@ def test_oracle_model_recovers_signal(name):
     assert err < 2e-2, f"{name}: max err {err}"
 
 
+KARRAS_GRID = ("dpmpp_k", "unipc_k")
+
+
 @pytest.mark.parametrize("name", sched.SCHEDULER_NAMES)
 def test_plan_determinism_and_slicing(name):
     p1 = sched.make_plan(name, 20)
@@ -75,7 +78,21 @@ def test_plan_determinism_and_slicing(name):
 
     p3 = sched.make_plan(name, 20, t_start=5)
     assert p3.num_steps == p1.num_steps - 5
-    np.testing.assert_array_equal(p3.timesteps, p1.timesteps[5:])
+    if name in KARRAS_GRID:
+        # noise-level-anchored slicing: the executed grid is respaced, so
+        # timesteps are NOT a suffix of the full plan's; the start sigma
+        # must instead match the LINEAR grid's sigma at the same index
+        # (grid-independent strength semantics, see _sliced_grid)
+        lin = sched.make_plan(name.replace("_k", ""), 20, t_start=5)
+        np.testing.assert_allclose(
+            p3.coeffs["sigmas"][0], lin.coeffs["sigmas"][0], rtol=1e-5
+        )
+        assert np.all(np.diff(p3.coeffs["sigmas"]) < 0)
+        np.testing.assert_allclose(
+            p3.coeffs["sigmas"][-2], p1.coeffs["sigmas"][-2], rtol=1e-5
+        )
+    else:
+        np.testing.assert_array_equal(p3.timesteps, p1.timesteps[5:])
 
 
 def test_pndm_counter_semantics():
