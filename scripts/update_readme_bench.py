@@ -58,8 +58,9 @@ def rows(v: dict) -> str:
         )
     if "fast_s" in v:
         out.append(
-            f"| Single-clip latency, serving FAST preset (dpmpp-28, 50-step quality "
-            f"per convergence gate) | **{v['fast_s']} s** ({v['fast_rt']}x realtime) | n/a |"
+            f"| Single-clip latency, serving FAST preset (50-step quality per "
+            f"convergence gate + agreement sweep) | **{v['fast_s']} s** "
+            f"({v['fast_rt']}x realtime) | n/a |"
         )
     if "batch_cps" in v:
         sustained = f"; **{v['sustained_cps']} clips/s sustained** with pipelined readback" \

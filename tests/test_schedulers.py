@@ -238,9 +238,9 @@ def test_karras_sigma_grid_properties():
 
 
 def test_dpmpp_k_low_step_beats_pndm_50():
-    """Karras-grid FAST preset gate: dpmpp_k at 20 steps must recover the
+    """Karras-grid convergence gate: dpmpp_k at 20 steps must recover the
     clean signal at least as accurately as 50-step PNDM under the exact-eps
-    oracle — the same bar the dpmpp-28 preset passes, at ~1.4x fewer evals."""
+    oracle — the same bar the dpmpp-28 config passes, at ~1.4x fewer evals."""
     key = jax.random.PRNGKey(5)
     x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
 
@@ -372,10 +372,10 @@ def test_unipc_weights_sum_rule():
 
 
 def test_dpmpp_low_step_beats_pndm_50():
-    """Serving FAST preset gate (serving.FAST_PRESET): dpmpp at 28 steps must
-    recover the clean signal at least as accurately as 50-step PNDM — the
-    quality bar is the parity default's, with ~1.8x fewer UNet evals. Run
-    with the exact-eps oracle, the defining convergence property."""
+    """dpmpp-28 (the original FAST preset, still a supported server config)
+    must recover the clean signal at least as accurately as 50-step PNDM —
+    the parity default's quality bar at ~1.8x fewer UNet evals. Run with the
+    exact-eps oracle, the defining convergence property."""
     key = jax.random.PRNGKey(5)
     x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
 
