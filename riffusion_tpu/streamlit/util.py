@@ -36,6 +36,8 @@ IMAGE_EXTENSIONS = ["png", "jpg", "jpeg"]
 SCHEDULER_OPTIONS = [
     "DPMSolverMultistepScheduler",
     "DPMSolverMultistepScheduler (Karras)",
+    "UniPCMultistepScheduler",
+    "UniPCMultistepScheduler (Karras)",
     "PNDMScheduler",
     "DDIMScheduler",
     "LMSDiscreteScheduler",
@@ -46,6 +48,8 @@ SCHEDULER_OPTIONS = [
 _SCHEDULER_MAP = {
     "DPMSolverMultistepScheduler": "dpmpp",
     "DPMSolverMultistepScheduler (Karras)": "dpmpp_k",
+    "UniPCMultistepScheduler": "unipc",
+    "UniPCMultistepScheduler (Karras)": "unipc_k",
     "PNDMScheduler": "pndm",
     "DDIMScheduler": "ddim",
     "LMSDiscreteScheduler": "lms",

@@ -73,9 +73,11 @@ def test_text_to_audio_params():
 def test_scheduler_option_mapping():
     from riffusion_tpu.streamlit import util as streamlit_util
 
+    from riffusion_tpu.diffusion import schedulers as sched
+
     for option in streamlit_util.SCHEDULER_OPTIONS:
         name = streamlit_util.scheduler_name(option)
-        assert name in ("pndm", "ddim", "lms", "euler", "euler_a", "dpmpp", "dpmpp_k")
+        assert name in sched.SCHEDULER_NAMES
     with pytest.raises(ValueError):
         streamlit_util.scheduler_name("NopeScheduler")
 
