@@ -30,9 +30,10 @@ AUDIO_EXTENSIONS = ["mp3", "wav", "flac", "webm", "m4a", "ogg"]
 IMAGE_EXTENSIONS = ["png", "jpg", "jpeg"]
 
 # Same option strings as the reference UI; mapped to the JAX schedulers.
-# "(Karras)" is a TPU-framework extension: the same DPM-Solver++(2M) stepper
-# on the Karras rho=7 sigma grid (schedulers._karras_sigmas), which reaches
-# 50-step quality in ~20 steps (benchmarks/sampler_agreement.py).
+# UniPC and the "(Karras)" grid variants are TPU-framework extensions: the
+# Karras rho=7 sigma grid (schedulers._karras_sigmas) and the UniPC-style
+# predictor-corrector reach 50-step quality in ~16 steps — measured by
+# benchmarks/sampler_agreement.py; unipc_k-16 is the serving FAST preset.
 SCHEDULER_OPTIONS = [
     "DPMSolverMultistepScheduler",
     "DPMSolverMultistepScheduler (Karras)",
