@@ -3,7 +3,9 @@ Command line tools (same command and flag surface as reference
 riffusion/cli.py:21-278, built on argparse instead of argh).
 
 Commands: audio-to-image, image-to-audio, sample-clips, print-exif,
-audio-to-images-batch, sample-clips-batch.
+audio-to-images-batch, sample-clips-batch, plus TPU-framework extensions:
+text-to-audio (fused txt2img->waveform), stream (overlapped real-time
+interpolation streaming), finetune.
 
 Batch commands are multi-threaded on the host for I/O (mirroring the
 reference's ThreadPool) while the device work stays serialized through the
@@ -283,6 +285,96 @@ def text_to_audio(
         print(f"Wrote {image}")
 
 
+def stream(
+    *,
+    prompt_start: str,
+    audio: str,
+    prompt_end: str = "",
+    num_clips: int = 8,
+    batch: int = 4,
+    num_inference_steps: int = 50,
+    denoising: float = 0.75,
+    guidance: float = 7.0,
+    seed: int = 42,
+    seed_image_id: str = "og_beat",
+    crossfade_ms: float = 200.0,
+    fast: bool = False,
+    scheduler: str = "",
+    seed_image: str = "",
+    num_frequencies: int = 512,
+    checkpoint: str = "riffusion/riffusion-model-v1",
+    device: str = "tpu",
+) -> None:
+    """Real-time streaming generation: walk the prompt-interpolation latent
+    space in `num_clips` clips, generating batch N+1 on the device WHILE
+    batch N's readback/stitching runs on the host (async dispatch — the
+    BASELINE.json 'real-time streaming: overlapped clip generation +
+    crossfade at >1x realtime' config). Clips are crossfade-stitched into
+    one continuous track; prints the realtime factor. --fast serves every
+    clip at the serving FAST preset (serving.FAST_PRESET). The reference
+    generates interpolation frames one blocking call at a time
+    (streamlit/tasks/interpolation.py:146-173)."""
+    import time
+
+    from riffusion_tpu.datatypes import InferenceInput, PromptInput
+    from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
+    from riffusion_tpu.server import SEED_IMAGES_DIR
+    from riffusion_tpu.util import audio_util
+
+    pipeline = RiffusionPipeline.load_checkpoint(checkpoint, device=device)
+    params = SpectrogramParams(num_frequencies=num_frequencies)
+    seed_path = seed_image or str(Path(SEED_IMAGES_DIR) / f"{seed_image_id}.png")
+    init_image = Image.open(seed_path).convert("RGB")
+
+    sched_name: T.Optional[str] = scheduler or None
+    steps = num_inference_steps
+    if fast:
+        from riffusion_tpu.serving import FAST_PRESET
+
+        sched_name = FAST_PRESET["scheduler"]
+        steps = FAST_PRESET["steps"]
+
+    end_prompt = prompt_end or prompt_start
+    alphas = np.linspace(0.0, 1.0, num_clips) if num_clips > 1 else np.asarray([0.0])
+    reqs = [
+        InferenceInput(
+            start=PromptInput(prompt=prompt_start, seed=seed, denoising=denoising,
+                              guidance=guidance),
+            end=PromptInput(prompt=end_prompt, seed=seed + 1, denoising=denoising,
+                            guidance=guidance),
+            alpha=float(a),
+            num_inference_steps=steps,
+        )
+        for a in alphas
+    ]
+    chunks = [reqs[i:i + batch] for i in range(0, len(reqs), batch)]
+
+    t0 = time.time()
+    segments: T.List[AudioSegment] = []
+    # double-buffer: dispatch chunk k+1 before finalizing chunk k, so device
+    # compute overlaps host readback + stitching
+    fin_prev = pipeline.riffuse_audio_batch(
+        chunks[0], init_image, params=params, scheduler=sched_name, async_dispatch=True
+    )
+    for chunk in chunks[1:]:
+        fin_next = pipeline.riffuse_audio_batch(
+            chunk, init_image, params=params, scheduler=sched_name, async_dispatch=True
+        )
+        segments.extend(seg for _, seg in fin_prev())
+        fin_prev = fin_next
+    segments.extend(seg for _, seg in fin_prev())
+    track = audio_util.stitch_segments(segments, crossfade_s=crossfade_ms / 1000.0)
+    wall = time.time() - t0
+
+    ext = Path(audio).suffix.lstrip(".") or "wav"
+    track.export(audio, format=ext)
+    rt = track.duration_seconds / wall
+    print(
+        f"Wrote {audio}: {track.duration_seconds:.2f} s of audio in {wall:.2f} s "
+        f"({rt:.2f}x realtime{'' if rt >= 1 else ' — BELOW realtime'})"
+    )
+
+
 def finetune(
     *,
     checkpoint: str,
@@ -363,6 +455,7 @@ _COMMANDS = [
     print_exif,
     audio_to_images_batch,
     sample_clips_batch,
+    stream,
     finetune,
 ]
 

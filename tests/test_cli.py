@@ -189,6 +189,41 @@ def test_text_to_audio_command(tmp_path):
     assert np.abs(data).max() > 1000
 
 
+def test_stream_command(tmp_path, capsys):
+    """CLI stream: overlapped (double-buffered) clip generation along the
+    prompt-interpolation walk, crossfade-stitched into one track — the
+    BASELINE.json 'real-time streaming' config as a user surface."""
+    import wave
+
+    import numpy as np
+    from PIL import Image
+
+    from riffusion_tpu.cli import main
+
+    seed_path = tmp_path / "seed.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(seed_path)
+    audio = tmp_path / "stream.wav"
+    main([
+        "stream", "--prompt-start", "lofi beat", "--prompt-end", "synthwave",
+        "--audio", str(audio), "--num-clips", "4", "--batch", "2",
+        "--num-inference-steps", "2", "--seed-image", str(seed_path),
+        "--num-frequencies", "64", "--crossfade-ms", "50",
+        "--checkpoint", "random:tiny", "--device", "cpu",
+    ])
+    assert audio.exists()
+    with wave.open(str(audio)) as w:
+        rate, n = w.getframerate(), w.getnframes()
+        data = np.frombuffer(w.readframes(n), np.int16)
+    assert rate == 44100
+    # 4 clips of 63*hop samples each, 3 crossfades of 50 ms
+    clip_s = 63 * 441 / 44100
+    expect_s = 4 * clip_s - 3 * 0.050
+    assert abs(n / rate - expect_s) < 0.1, (n / rate, expect_s)
+    assert np.abs(data).max() > 1000
+    assert "x realtime" in capsys.readouterr().out
+
+
 def test_finetune_command(tmp_path):
     """CLI finetune: builds the latent dataset from audio, trains 1 step,
     exports a loadable checkpoint (same tiny geometry as tests/test_finetune.py
