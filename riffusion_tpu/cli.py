@@ -349,6 +349,20 @@ def stream(
     ]
     chunks = [reqs[i:i + batch] for i in range(0, len(reqs), batch)]
 
+    # warmup: compile the batch program(s) before the clock starts, so the
+    # reported factor is the steady-state serving rate (a live stream runs
+    # from a warm process; cold compile is a one-time deploy cost measured
+    # separately by bench.py's warm-start phase)
+    t_warm = time.time()
+    pipeline.riffuse_audio_batch(
+        chunks[0], init_image, params=params, scheduler=sched_name
+    )
+    if len(chunks[-1]) != len(chunks[0]):
+        pipeline.riffuse_audio_batch(
+            chunks[-1], init_image, params=params, scheduler=sched_name
+        )
+    warm_s = time.time() - t_warm
+
     t0 = time.time()
     segments: T.List[AudioSegment] = []
     # double-buffer: dispatch chunk k+1 before finalizing chunk k, so device
@@ -371,7 +385,8 @@ def stream(
     rt = track.duration_seconds / wall
     print(
         f"Wrote {audio}: {track.duration_seconds:.2f} s of audio in {wall:.2f} s "
-        f"({rt:.2f}x realtime{'' if rt >= 1 else ' — BELOW realtime'})"
+        f"({rt:.2f}x realtime{'' if rt >= 1 else ' — BELOW realtime'}; "
+        f"one-time warmup/compile {warm_s:.1f} s)"
     )
 
 
