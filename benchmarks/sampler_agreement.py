@@ -42,6 +42,10 @@ every Karras config at >=16 steps is as close to gold as the reference's
 own ddim-50/euler-50; unipc_k-12 and dpmpp-20 are genuinely worse.
 Verdict: serving.FAST_PRESET = unipc_k-16 (3.1x fewer UNet evals than
 pndm-50, 1.75x fewer than the previous dpmpp-28 preset).
+Order-3 probe (same harness, _make_unipc_plan(order=3)): 12 steps 0.0126
+(WORSE than order-2's 0.0114 — the wider stencil is less stable on the
+coarse high-sigma intervals) and 16 steps 0.0099 (no gain over order-2's
+0.0097). Order 2 stays the default; 16 steps is the frontier.
 img2img probe (riffuse at strength 0.75, the serving request shape, rel-L2
 vs the pndm-50 parity output, seeds 42/43): ddim-50 0.0072, dpmpp-28
 0.0097, unipc_k-16 0.0140 — the FAST preset sits within ~2x of the 50-step
