@@ -12,6 +12,14 @@ later compile in it fails, even ones that fit on a clean device — measured
 and accumulated executables from earlier configs eat HBM the later configs
 need. A subprocess exit releases the TPU completely.
 
+Forced-flash probe (RIFFUSION_TPU_EINSUM_B_LO=1e6, i.e. Pallas flash at
+every site, measured 2026-08-18 at the unipc_k-16 fast preset): b16 drops to
+1.01 clips/s sustained vs 3.86 with the hybrid gate (flash-everywhere is
+3.8x slower at serving shapes — the gate's einsum choice is right), and b24/
+b32 still RESOURCE_EXHAUSTED, so the HBM cliff is NOT the einsum attention
+matrices alone — conv/resnet activations at CFG batch 48+ bound it. b16
+stays the bucket ceiling regardless of attention implementation.
+
 Context: the batch-16 UNet-bound ceiling at 50-step parity is ~1.77 clips/s
 (238 ms/CFG-step-pair x 38 pairs, benchmarks/attn_sweep.py); measured
 sustained is ~1.5. The gap is dispatch + readback (~27 MB/batch over the
