@@ -424,8 +424,17 @@ def save_native(bundle: ModelBundle, out_dir: str) -> None:
         ("vae", bundle.vae_params),
         ("clip", bundle.clip_params),
     ):
+        # Fetch the whole tree to host numpy BEFORE encoding. Encoding
+        # device arrays lets the msgpack encoder trigger one blocking
+        # device->host transfer per leaf; over a remote-relay TPU that is
+        # ~0.5 s round trip x 686 UNet leaves (measured 369 s for the full
+        # bundle). Issuing every copy async first overlaps the round trips.
+        for leaf in jax.tree.leaves(params):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        params_np = jax.device_get(params)
         with open(os.path.join(out_dir, f"{name}.msgpack"), "wb") as fh:
-            fh.write(serialization.to_bytes(params))
+            fh.write(serialization.to_bytes(params_np))
 
 
 def load_native(root: str, dtype=jnp.bfloat16) -> ModelBundle:
