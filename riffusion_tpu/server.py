@@ -363,7 +363,7 @@ def run_app(
             fast = serving_preset == "fast"
             batch_steps = FAST_PRESET["steps"] if fast else warmup_steps
             batch_sched = FAST_PRESET["scheduler"] if fast else None
-            for size in (2, 4, 8):
+            for size in (2, 4, 8, 16):
                 if size > max_batch:
                     break
                 logger.info(f"warmup: compiling the batch-{size} program...")
