@@ -318,6 +318,9 @@ def stream(
     (streamlit/tasks/interpolation.py:146-173)."""
     import time
 
+    if num_clips < 1 or batch < 1:
+        raise SystemExit("stream: --num-clips and --batch must be >= 1")
+
     from riffusion_tpu.datatypes import InferenceInput, PromptInput
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
     from riffusion_tpu.server import SEED_IMAGES_DIR

@@ -280,9 +280,7 @@ def _pndm_step(plan: SchedulerPlan, state, i: Array, model_output: Array, sample
 def _make_lms_plan(
     noise: NoiseConfig, num_steps: int, t_start: int = 0, order: int = 4
 ) -> SchedulerPlan:
-    t, sigmas_full = _interp_sigmas(noise, num_steps)
-    t = t[t_start:]
-    sigmas = sigmas_full[t_start:]
+    t, sigmas = _sliced_grid(noise, num_steps, t_start, karras=False)
     from scipy import integrate
 
     n_exec = len(t)
@@ -335,9 +333,7 @@ def _lms_step(plan: SchedulerPlan, state, i, model_output, sample):
 def _make_euler_plan(
     noise: NoiseConfig, num_steps: int, ancestral: bool, t_start: int = 0
 ) -> SchedulerPlan:
-    t, sigmas = _interp_sigmas(noise, num_steps)
-    t = t[t_start:]
-    sigmas = sigmas[t_start:]
+    t, sigmas = _sliced_grid(noise, num_steps, t_start, karras=False)
     coeffs: T.Dict[str, np.ndarray] = {
         "sigmas": sigmas.astype(np.float32),
         "t_float": t.astype(np.float32),
@@ -549,11 +545,19 @@ def _unipc_init_state(plan, shape, dtype):
     return {
         "x0_ring": jnp.zeros((ring,) + tuple(shape), dtype),
         "sample_prev": jnp.zeros(shape, dtype),
+        "x_pred_prev": jnp.zeros(shape, dtype),
     }
 
 
 def _unipc_step(plan, state, i, model_output, sample):
-    """Correct the previous step with the fresh x0, then predict the next."""
+    """Correct the previous step with the fresh x0, then predict the next.
+
+    The correction is applied as a DELTA on the incoming `sample`, not as a
+    replacement: callers may have edited the latent between steps (per-step
+    inpainting mask re-noising, MagicMix blends — riffusion_pipeline.py scan
+    bodies), and x_i = sample + (corrected - x_pred_prev) preserves those
+    edits while reducing to x_i = corrected exactly when the sample is
+    untouched (sample == the predictor output stored in x_pred_prev)."""
     c = {k: jnp.asarray(v) for k, v in plan.coeffs.items()}
     sigma = c["sigmas"][i]
     x0 = sample - sigma * model_output
@@ -562,10 +566,12 @@ def _unipc_step(plan, state, i, model_output, sample):
     corrected = c["corr_ratio"][i] * state["sample_prev"] + jnp.tensordot(
         c["corr_w"][i], ring, axes=1
     )
-    x_i = jnp.where(c["corr_on"][i] > 0, corrected, sample)
+    x_i = jnp.where(
+        c["corr_on"][i] > 0, sample + (corrected - state["x_pred_prev"]), sample
+    )
 
     x_next = c["pred_ratio"][i] * x_i + jnp.tensordot(c["pred_w"][i], ring, axes=1)
-    return x_next, {"x0_ring": ring, "sample_prev": x_i}
+    return x_next, {"x0_ring": ring, "sample_prev": x_i, "x_pred_prev": x_next}
 
 
 # ----------------------------------------------------------------- interface
@@ -592,6 +598,26 @@ _STEPPERS = {
     "dpmpp": _dpmpp_step,
     "unipc": _unipc_step,
 }
+
+#: Schedulers on the Karras rho-spaced sigma grid: their img2img slicing is
+#: anchored to the LINEAR grid's noise level at t_start (see _sliced_grid),
+#: so index selection against timesteps must use `slice_anchor_timesteps`.
+KARRAS_GRID = ("dpmpp_k", "unipc_k")
+
+
+def slice_anchor_timesteps(
+    name: str, num_steps: int, noise: NoiseConfig = NoiseConfig()
+) -> np.ndarray:
+    """Timesteps in the space that `t_start` slices for `name`. Karras-grid
+    schedulers re-anchor the sliced suffix to the linear grid's sigma at
+    t_start, so a caller choosing t_start from a timestep bound (MagicMix's
+    kmax) must search the LINEAR grid; every other plan slices its own
+    timesteps."""
+    if name in KARRAS_GRID:
+        t, _ = _interp_sigmas(noise, num_steps)
+        return np.round(t).astype(np.int32)
+    return np.asarray(make_plan(name, num_steps, 0, noise).timesteps)
+
 
 #: Schedulers whose step() operates in k-diffusion sigma space (x = x0 + sigma*eps)
 #: rather than DDPM space (x = sqrt(a)*x0 + sqrt(1-a)*eps). Their forward

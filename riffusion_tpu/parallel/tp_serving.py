@@ -26,6 +26,7 @@ reconstruct the exact same math.
 from __future__ import annotations
 
 import typing as T
+import weakref
 
 import jax
 import numpy as np
@@ -39,16 +40,24 @@ if T.TYPE_CHECKING:  # pragma: no cover
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
     from riffusion_tpu.spectrogram_params import SpectrogramParams
 
-# per-(pipeline, mesh) cache of the tensor-parallel UNet param placement —
-# resharding ~900M params across the mesh is a one-time cost per process
-_TP_PARAMS: T.Dict[T.Tuple[int, Mesh], T.Any] = {}
+# per-(pipeline, mesh) cache of the mesh param placement — resharding ~900M
+# params is a one-time cost per process. Keyed WEAKLY by pipeline: an id()
+# key could alias a new pipeline after garbage collection (serving stale
+# weights), and would pin the sharded params in device memory forever.
+_TP_CACHE: "weakref.WeakKeyDictionary[T.Any, T.Dict[Mesh, T.Tuple]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
-def _tp_unet_params(pipeline: "RiffusionPipeline", mesh: Mesh):
-    key = (id(pipeline), mesh)
-    if key not in _TP_PARAMS:
-        _TP_PARAMS[key] = shard_params(pipeline.unet_params, mesh)
-    return _TP_PARAMS[key]
+def _tp_placed(pipeline: "RiffusionPipeline", mesh: Mesh):
+    """(tp-sharded UNet params, replicated VAE params) for this mesh."""
+    per_pipe = _TP_CACHE.setdefault(pipeline, {})
+    if mesh not in per_pipe:
+        per_pipe[mesh] = (
+            shard_params(pipeline.unet_params, mesh),
+            _replicate(pipeline.vae_params, mesh),
+        )
+    return per_pipe[mesh]
 
 
 def _replicate(tree, mesh: Mesh):
@@ -71,10 +80,13 @@ def riffuse_audio_tp(
     params: T.Optional["SpectrogramParams"] = None,
     mask_image: T.Optional[Image.Image] = None,
     use_reweighting: bool = True,
+    apply_filters: bool = True,
+    scheduler: T.Optional[str] = None,
 ):
     """One riffuse_audio request with the UNet tensor-parallel over `mesh`'s
-    "model" axis. Returns (PIL image, AudioSegment), same contract as
-    `RiffusionPipeline.riffuse_audio`.
+    "model" axis. Returns (PIL image, AudioSegment) with the same argument
+    surface as `RiffusionPipeline.riffuse_audio` (mask, reweighting, filter
+    and scheduler knobs all pass through).
 
     Reuses the pipeline's fused program unchanged: jit specializes on the
     argument shardings, so the single-device program and the tp program are
@@ -84,21 +96,19 @@ def riffuse_audio_tp(
 
     params = params or SpectrogramParams()
     program, args = pipeline._build_call(
-        inputs, init_image, mask_image, use_reweighting, params
+        inputs, init_image, mask_image, use_reweighting, params, scheduler
     )
     (unet_params, vae_params, *rest) = args
-    args_tp = (
-        _tp_unet_params(pipeline, mesh),
-        _replicate(vae_params, mesh),
-        *(_replicate(a, mesh) for a in rest),
-    )
+    unet_tp, vae_repl = _tp_placed(pipeline, mesh)
+    args_tp = (unet_tp, vae_repl, *(_replicate(a, mesh) for a in rest))
     image_u8, waveform = program(*args_tp)
     image_np, waveform_np = jax.device_get((image_u8, waveform))
     from riffusion_tpu.audio.segment import AudioSegment
     from riffusion_tpu.util import audio_util
 
     segment = AudioSegment(waveform_np.T, params.sample_rate)
-    segment = audio_util.apply_filters(segment, compression=False)
+    if apply_filters:
+        segment = audio_util.apply_filters(segment, compression=False)
     return Image.fromarray(image_np, mode="RGB"), segment
 
 
@@ -107,7 +117,6 @@ def dryrun_tp_serving(n_devices: int) -> float:
     ("model",) mesh — used by __graft_entry__.dryrun_multichip to validate
     the latency-scaling inference sharding alongside the training step and
     the data-parallel serving batch."""
-    from riffusion_tpu.datatypes import InferenceInput, PromptInput
     from riffusion_tpu.parallel.mesh import make_mesh
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
     from riffusion_tpu.spectrogram_params import SpectrogramParams
@@ -118,6 +127,8 @@ def dryrun_tp_serving(n_devices: int) -> float:
     pipe = RiffusionPipeline.load_checkpoint("random:tiny")
     rng = np.random.default_rng(0)
     init = Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    from riffusion_tpu.datatypes import PromptInput
+
     inputs = InferenceInput(
         start=PromptInput(prompt="tp check", seed=1),
         end=PromptInput(prompt="target", seed=2),

@@ -1108,9 +1108,13 @@ class RiffusionPipeline:
         n_train = self.noise_config.num_train_timesteps
         kmin_t = int(kmin * n_train)
         kmax_t = int(kmax * n_train)
-        full_plan = sched.make_plan(scheduler, num_inference_steps, 0, self.noise_config)
-        # start at the first plan position with timestep <= kmax_t
-        ts = np.asarray(full_plan.timesteps)
+        # start at the first plan position with timestep <= kmax_t — searched
+        # in the space t_start actually slices (Karras-grid plans re-anchor
+        # the sliced suffix to the LINEAR grid's noise level, so the index
+        # must come from the linear timesteps; schedulers.slice_anchor_timesteps)
+        ts = sched.slice_anchor_timesteps(
+            scheduler, num_inference_steps, self.noise_config
+        )
         t_start = int(np.argmax(ts <= kmax_t)) if np.any(ts <= kmax_t) else len(ts) - 1
         noise_timestep = int(ts[t_start])
 

@@ -237,14 +237,21 @@ def test_karras_sigma_grid_properties():
     np.testing.assert_allclose(ts, np.round(t_exact), atol=1)
 
 
-def test_dpmpp_k_low_step_beats_pndm_50():
-    """Karras-grid convergence gate: dpmpp_k at 20 steps must recover the
-    clean signal at least as accurately as 50-step PNDM under the exact-eps
-    oracle — the same bar the dpmpp-28 config passes, at ~1.4x fewer evals."""
+@pytest.mark.parametrize(
+    ("name", "steps"),
+    [("dpmpp", 28), ("dpmpp_k", 20), ("unipc_k", 16)],
+)
+def test_low_step_configs_beat_pndm_50(name, steps):
+    """Few-step convergence gates: each config must recover the clean signal
+    at least as accurately as 50-step PNDM under the exact-eps oracle — the
+    parity default's quality bar at 1.8x/2.5x/3.1x fewer UNet evals.
+    unipc_k-16 is the serving FAST preset (serving.FAST_PRESET); its measured
+    full-model counterpart is benchmarks/sampler_agreement.py, where it lands
+    inside the reference's own 50-step scheduler band."""
     key = jax.random.PRNGKey(5)
     x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
 
-    out_fast = _run_reverse("dpmpp_k", 20, x0, key)
+    out_fast = _run_reverse(name, steps, x0, key)
     err_fast = float(jnp.max(jnp.abs(out_fast - x0)))
 
     out_parity = _run_reverse("pndm", 50, x0, key)
@@ -254,31 +261,7 @@ def test_dpmpp_k_low_step_beats_pndm_50():
     err_parity = float(jnp.max(jnp.abs(out_parity - expected_parity)))
 
     assert err_fast <= max(err_parity, 2e-2), (
-        f"dpmpp_k-20 err {err_fast} worse than pndm-50 err {err_parity}"
-    )
-
-
-def test_unipc_k_low_step_beats_pndm_50():
-    """FAST preset gate (serving.FAST_PRESET = unipc_k-16): the Karras-grid
-    predictor-corrector at 16 steps must recover the clean signal at least as
-    accurately as 50-step PNDM under the exact-eps oracle, at 3.1x fewer UNet
-    evals. The measured full-model counterpart is the sampler-agreement sweep
-    (benchmarks/sampler_agreement.py): unipc_k-16 lands at the cross-grid
-    convergence floor alongside ddim-50/euler-50."""
-    key = jax.random.PRNGKey(5)
-    x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
-
-    out_fast = _run_reverse("unipc_k", 16, x0, key)
-    err_fast = float(jnp.max(jnp.abs(out_fast - x0)))
-
-    out_parity = _run_reverse("pndm", 50, x0, key)
-    f = sched.NoiseConfig().final_alpha_cumprod
-    noise = jax.random.normal(key, x0.shape)
-    expected_parity = np.sqrt(f) * x0 + np.sqrt(1 - f) * noise
-    err_parity = float(jnp.max(jnp.abs(out_parity - expected_parity)))
-
-    assert err_fast <= max(err_parity, 2e-2), (
-        f"unipc_k-16 err {err_fast} worse than pndm-50 err {err_parity}"
+        f"{name}-{steps} err {err_fast} worse than pndm-50 err {err_parity}"
     )
 
 
@@ -371,23 +354,42 @@ def test_unipc_weights_sum_rule():
             )
 
 
-def test_dpmpp_low_step_beats_pndm_50():
-    """dpmpp-28 (the original FAST preset, still a supported server config)
-    must recover the clean signal at least as accurately as 50-step PNDM —
-    the parity default's quality bar at ~1.8x fewer UNet evals. Run with the
-    exact-eps oracle, the defining convergence property."""
-    key = jax.random.PRNGKey(5)
-    x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
 
-    out_fast = _run_reverse("dpmpp", 28, x0, key)
-    err_fast = float(jnp.max(jnp.abs(out_fast - x0)))
+@pytest.mark.parametrize("name", ["dpmpp_k", "unipc_k"])
+def test_per_step_latent_surgery_survives(name):
+    """Pipelines edit the latent BETWEEN steps (inpainting mask re-noising,
+    MagicMix blends — riffusion_pipeline.py scan bodies). A stepper that
+    rebuilds the sample from its internal history (UniPC's corrector) must
+    apply the correction as a delta on the INCOMING sample, not a
+    replacement, or the surgery silently vanishes from the trajectory."""
+    plan = sched.make_plan(name, 8)
+    sigmas = plan.coeffs["sigmas"]
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, SHAPE) * 0.5
 
-    out_parity = _run_reverse("pndm", 50, x0, key)
-    f = sched.NoiseConfig().final_alpha_cumprod
-    noise = jax.random.normal(key, x0.shape)
-    expected_parity = np.sqrt(f) * x0 + np.sqrt(1 - f) * noise
-    err_parity = float(jnp.max(jnp.abs(out_parity - expected_parity)))
+    def eps_for(x, i, target_x0):
+        return (x - target_x0) / max(sigmas[i], 1e-8)
 
-    assert err_fast <= max(err_parity, 2e-2), (
-        f"dpmpp-28 err {err_fast} worse than pndm-50 err {err_parity}"
+    def run(surgery_delta):
+        x = x0 + sigmas[0] * jax.random.normal(jax.random.fold_in(key, 1), SHAPE)
+        state = sched.init_state(plan, SHAPE, key=key)
+        for i in range(4):
+            if i == 2:
+                x = x + surgery_delta  # external edit between steps
+            # oracle keeps the x0 prediction FIXED so the edit reaches the
+            # next sample only through the stepper's sample pathway
+            x, state = sched.step(plan, state, jnp.asarray(i), eps_for(x, i, x0), x)
+        return x
+
+    base = run(0.0)
+    edited = run(5.0)
+    moved = float(jnp.max(jnp.abs(edited - base)))
+    # with the x0 prediction pinned, the edit reaches the output ONLY through
+    # the stepper's linear sample pathway: two remaining steps scale it by
+    # ~sigma_4/sigma_2 (solver correction terms perturb the constant, hence
+    # the loose factor). A stepper that rebuilds the sample from history
+    # (the pre-fix UniPC corrector) collapses this to ~0.
+    expect = 5.0 * float(sigmas[4] / sigmas[2])
+    assert moved > 0.3 * expect, (
+        f"{name}: surgery delta collapsed to {moved} (expected ~{expect})"
     )

@@ -70,13 +70,13 @@ def test_tp_param_placement_is_sharded(pipe):
     import jax
 
     from riffusion_tpu.parallel.mesh import make_mesh
-    from riffusion_tpu.parallel.tp_serving import _tp_unet_params
+    from riffusion_tpu.parallel.tp_serving import _tp_placed
 
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
 
     mesh = make_mesh(axis_names=("model",))
-    tp = _tp_unet_params(pipe, mesh)
+    tp, _ = _tp_placed(pipe, mesh)
 
     sharded = 0
     for path, leaf in jax.tree_util.tree_leaves_with_path(tp):
