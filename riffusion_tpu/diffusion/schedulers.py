@@ -373,10 +373,16 @@ def _euler_a_step(plan, state, i, model_output, sample):
     sigma_down = jnp.asarray(plan.coeffs["sigma_down"])[i]
     sigma_up = jnp.asarray(plan.coeffs["sigma_up"])[i]
     prev = sample + d * (sigma_down - sigma)
-    key = state["key"]
-    key, sub = jax.random.split(key)
-    prev = prev + jax.random.normal(sub, sample.shape, sample.dtype) * sigma_up
-    return prev, {"key": key}
+    keys = state["key"]  # (N, 2), one key per batch item
+    splits = jax.vmap(jax.random.split)(keys)  # (N, 2, 2)
+    new_keys, subs = splits[:, 0], splits[:, 1]
+    # Draw each item's noise at shape (1, ...) from its own key: bit-identical
+    # to the single-request program with that key, for any batch size/position.
+    noise = jax.vmap(
+        lambda k: jax.random.normal(k, (1,) + sample.shape[1:], sample.dtype)
+    )(subs)[:, 0]
+    prev = prev + noise * sigma_up
+    return prev, {"key": new_keys}
 
 
 # ------------------------------------------------------------- DPM-Solver++ 2M
@@ -652,7 +658,18 @@ def init_state(plan: SchedulerPlan, shape, dtype=jnp.float32, key: T.Optional[Ar
         return _unipc_init_state(plan, shape, dtype)
     if plan.name == "euler_a":
         assert key is not None, "euler_a needs a PRNG key in its state"
-        return {"key": key}
+        # State holds ONE KEY PER BATCH ITEM, (N, 2): each request's ancestral
+        # noise stream is derived from its own key, so its output is
+        # independent of batch size, position, and companions (and bit-equal
+        # to the single-request program). Single-request callers pass a bare
+        # (2,) key, normalized to (1, 2) here.
+        keys = key if key.ndim == 2 else key[None]
+        if keys.shape[0] != shape[0]:
+            raise ValueError(
+                f"euler_a needs one key per batch item: got {keys.shape[0]} "
+                f"keys for batch {shape[0]}"
+            )
+        return {"key": keys}
     return {}
 
 

@@ -567,7 +567,9 @@ class RiffusionPipeline:
             latents = latents * plan.init_noise_sigma
 
             timesteps = jnp.asarray(plan.timesteps)
-            state = sched.init_state(plan, latents.shape, latents.dtype, key=keys[0, 1])
+            # per-item scheduler keys: each request's ancestral noise (euler_a)
+            # is independent of batch position and companions
+            state = sched.init_state(plan, latents.shape, latents.dtype, key=keys[:, 1])
             g = guidances[:, None, None, None]
 
             def body(carry, i):
@@ -596,14 +598,17 @@ class RiffusionPipeline:
             codes = jax.vmap(
                 lambda img: codec.codes_from_rgb_image(img, stereo=fused_params.stereo)
             )(images_u8)
-            n, c, f, t_dim = codes.shape
             mel_amps = codec.spectrogram_from_codes(
-                codes.reshape(n * c, f, t_dim), fused_params.power_for_image, max_value=30e6
-            )
-            waveforms = converter.waveform_from_mel_amplitudes(
-                mel_amps, key=keys[0, 1], consts=dsp_consts
-            )
-            return images_u8, _waveform_to_int16(waveforms.reshape(n, c, -1))
+                codes, fused_params.power_for_image, max_value=30e6
+            )  # (N, C, F, T)
+            # per-item Griffin-Lim phase keys: request i's phase init matches
+            # the single-request program with key i, at any batch position
+            waveforms = jax.vmap(
+                lambda m, k: converter.waveform_from_mel_amplitudes(
+                    m, key=k, consts=dsp_consts
+                )
+            )(mel_amps, keys[:, 1])  # (N, C, samples)
+            return images_u8, _waveform_to_int16(waveforms)
 
         return jax.jit(program)
 
@@ -787,7 +792,9 @@ class RiffusionPipeline:
             noise = noise[:, 0]
 
             timesteps = jnp.asarray(plan.timesteps)
-            state = sched.init_state(plan, latents.shape, latents.dtype, key=keys[0, 3])
+            # per-item scheduler keys (see _txt2img_batch_program): ancestral
+            # noise must not depend on batch position or companions
+            state = sched.init_state(plan, latents.shape, latents.dtype, key=keys[:, 3])
             g = guidances[:, None, None, None]
 
             def body(carry, i):
@@ -826,14 +833,17 @@ class RiffusionPipeline:
             codes = jax.vmap(
                 lambda img: codec.codes_from_rgb_image(img, stereo=fused_params.stereo)
             )(images_u8)  # (N, C, F, T)
-            n, c, f, t_dim = codes.shape
             mel_amps = codec.spectrogram_from_codes(
-                codes.reshape(n * c, f, t_dim), fused_params.power_for_image, max_value=30e6
-            )
-            waveforms = converter.waveform_from_mel_amplitudes(
-                mel_amps, key=keys[0, 3], consts=dsp_consts
-            )  # (N*C, samples)
-            return images_u8, _waveform_to_int16(waveforms.reshape(n, c, -1))
+                codes, fused_params.power_for_image, max_value=30e6
+            )  # (N, C, F, T)
+            # per-item Griffin-Lim phase keys: request i's audio is bit-stable
+            # across batch positions and matches the single-request program
+            waveforms = jax.vmap(
+                lambda m, k: converter.waveform_from_mel_amplitudes(
+                    m, key=k, consts=dsp_consts
+                )
+            )(mel_amps, keys[:, 3])  # (N, C, samples)
+            return images_u8, _waveform_to_int16(waveforms)
 
         if mesh is not None:
             # Data-parallel serving over the mesh: every batch-axis operand is

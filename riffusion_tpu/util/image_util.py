@@ -14,6 +14,7 @@ this module is the PIL boundary used by CLI/server/tests.
 from __future__ import annotations
 
 import typing as T
+import warnings
 
 import numpy as np
 from PIL import Image
@@ -25,9 +26,24 @@ def image_from_spectrogram(spectrogram: np.ndarray, power: float = 0.25) -> Imag
     """
     Encode a (channels, frequency, time) magnitude array as a PIL image.
     Inverse of `spectrogram_from_image` up to uint8 quantization.
+
+    Degenerate inputs fail clean instead of silently casting NaN to uint8:
+    non-finite magnitudes raise, and an all-zero (silent) spectrogram encodes
+    as the blank-white image (the exact encoding of silence) with a warning.
     """
-    max_value = np.max(spectrogram)
-    data = spectrogram / max_value
+    max_value = float(np.max(spectrogram)) if spectrogram.size else 0.0
+    if not np.isfinite(max_value):
+        raise ValueError(
+            "spectrogram contains non-finite values; refusing to encode"
+        )
+    if max_value <= 0.0:
+        warnings.warn(
+            "encoding an all-zero (silent) spectrogram as a blank image",
+            stacklevel=2,
+        )
+        data = np.zeros_like(spectrogram, dtype=np.float32)
+    else:
+        data = spectrogram / max_value
     data = np.power(data, power)
     data = 255 - (data * 255)
     data = data.astype(np.uint8)
@@ -52,7 +68,19 @@ def spectrogram_from_image(
     """
     Decode a spectrogram image back to a (channels, frequency, time) magnitude
     array, reversing each step of `image_from_spectrogram`.
+
+    A non-finite `max_value` raises; `max_value <= 0` (e.g. the stamped
+    MAX_VALUE of a silent image) decodes to silence with a warning rather
+    than shipping NaN-derived audio downstream.
     """
+    if not np.isfinite(max_value):
+        raise ValueError(f"max_value must be finite, got {max_value}")
+    if max_value <= 0.0:
+        warnings.warn(
+            f"max_value={max_value} decodes to silence (degenerate image)",
+            stacklevel=2,
+        )
+        max_value = 0.0
     if image.mode in ("P", "L"):
         image = image.convert("RGB")
 

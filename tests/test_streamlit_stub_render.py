@@ -118,7 +118,9 @@ def test_image_to_audio_deep(tiny_default_checkpoint):
     wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
     params = SpectrogramParams(num_frequencies=64)
     converter = SpectrogramImageConverter(params=params, device="cpu")
-    image = converter.spectrogram_image_from_audio(AudioSegment.from_float(wave[None], sr))
+    image = converter.spectrogram_image_from_audio(
+        AudioSegment.from_float(wave[None], sr, normalize=True)
+    )
     buf = io.BytesIO()
     image.save(buf, exif=image.getexif(), format="PNG")
     buf.seek(0)
