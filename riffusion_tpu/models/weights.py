@@ -58,6 +58,61 @@ class ModelBundle:
 # --------------------------------------------------------------- random init
 
 
+def _shape_cache_path(tag: str, cfgs: T.Tuple) -> str:
+    import hashlib
+
+    from riffusion_tpu import aot
+
+    raw = "|".join([tag, repr(cfgs), aot._package_code_hash()])
+    name = hashlib.sha256(raw.encode()).hexdigest()[:16]
+    base = os.environ.get(
+        "RIFFUSION_TPU_SHAPE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "riffusion_tpu", "shapes"),
+    )
+    return os.path.join(base, f"{tag}-{name}.pkl")
+
+
+def _load_shape_cache(tag: str, cfgs: T.Tuple):
+    import pickle
+
+    path = _shape_cache_path(tag, cfgs)
+    if not os.path.exists(path):
+        return None
+    def to_dtype(name: str):
+        try:
+            return np.dtype(name)
+        except TypeError:  # bfloat16 & friends live in ml_dtypes
+            import ml_dtypes
+
+            return np.dtype(getattr(ml_dtypes, name))
+
+    try:
+        with open(path, "rb") as f:
+            plain = pickle.load(f)
+        return jax.tree.map(
+            lambda sd: jax.ShapeDtypeStruct(sd[0], to_dtype(sd[1])),
+            plain,
+            is_leaf=lambda x: isinstance(x, tuple),
+        )
+    except Exception:
+        return None
+
+
+def _save_shape_cache(tag: str, cfgs: T.Tuple, shapes) -> None:
+    import pickle
+
+    path = _shape_cache_path(tag, cfgs)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        plain = jax.tree.map(lambda s: (tuple(s.shape), str(s.dtype)), shapes)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(plain, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache is an optimization only
+
+
 def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> ModelBundle:
     """Deterministic random-weight bundle ("tiny" or "full" SD v1 geometry)."""
     from riffusion_tpu.util import jax_util
@@ -80,17 +135,32 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
 
     # Param *structures* via eval_shape (no device compile), then fast host
     # numpy init — initializing ~1B params with jitted per-layer RNG would
-    # otherwise dominate load time (and remote-compile poorly).
+    # otherwise dominate load time (and remote-compile poorly). The
+    # eval_shape traces themselves cost ~30 s of single-core host time for
+    # the full model, so the resulting shape trees are disk-cached keyed by
+    # (configs, package code hash) — a serving restart reads them in ms.
+    def shapes_cached(tag, build):
+        cached = _load_shape_cache(tag, (unet_cfg, vae_cfg, clip_cfg))
+        if cached is not None:
+            return cached
+        shapes = build()
+        _save_shape_cache(tag, (unet_cfg, vae_cfg, clip_cfg), shapes)
+        return shapes
+
     s = unet_cfg.sample_size
     latents = jnp.zeros((1, s, s, unet_cfg.in_channels), jnp.float32)
     context = jnp.zeros((1, clip_cfg.max_positions, unet_cfg.cross_attention_dim), jnp.float32)
-    unet_shapes = jax.eval_shape(
+    unet_shapes = shapes_cached("unet", lambda: jax.eval_shape(
         lambda: unet.init(k_unet, latents, jnp.zeros((1,), jnp.int32), context)["params"]
-    )
+    ))
     img = jnp.zeros((1, s * 8, s * 8, vae_cfg.in_channels), jnp.float32)
-    vae_shapes = jax.eval_shape(lambda: vae.init(k_vae, img, k_samp)["params"])
+    vae_shapes = shapes_cached("vae", lambda: jax.eval_shape(
+        lambda: vae.init(k_vae, img, k_samp)["params"]
+    ))
     ids = jnp.zeros((1, clip_cfg.max_positions), jnp.int32)
-    clip_shapes = jax.eval_shape(lambda: clip.init(k_clip, ids)["params"])
+    clip_shapes = shapes_cached("clip", lambda: jax.eval_shape(
+        lambda: clip.init(k_clip, ids)["params"]
+    ))
 
     # Weights are synthesized ON DEVICE in a single jitted program: one RNG
     # pool is tiled per-leaf with a rotating offset. This avoids both

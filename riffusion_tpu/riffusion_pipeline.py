@@ -22,6 +22,7 @@ TPU-first:
 from __future__ import annotations
 
 import functools
+import os
 import typing as T
 
 import jax
@@ -29,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from riffusion_tpu import aot
 from riffusion_tpu.audio.segment import AudioSegment
 from riffusion_tpu.datatypes import InferenceInput
 from riffusion_tpu.diffusion import schedulers as sched
@@ -64,6 +66,20 @@ def request_keys(start_seed: int, end_seed: int) -> Array:
     )
 
 
+def _aot_key(name: str, *parts: T.Any) -> str:
+    """Readable, filesystem-safe AOT store key for a program config. Long or
+    structured parts (SpectrogramParams) are folded into a short digest."""
+    import hashlib
+
+    toks = []
+    for p in parts:
+        s = "none" if p is None else str(p)
+        if len(s) > 24 or not s.replace("-", "").replace(".", "").isalnum():
+            s = hashlib.sha256(s.encode()).hexdigest()[:10]
+        toks.append(s)
+    return "-".join([name] + toks)
+
+
 def _waveform_to_int16(waveform: Array) -> Array:
     """Peak-normalize to int16 full scale ON DEVICE (same math as
     AudioSegment.from_float(normalize=True)); halves the device->host
@@ -88,6 +104,14 @@ class RiffusionPipeline:
         self._jax_device = jax_util.jax_device(self.device)
         self.noise_config = noise_config
         jax_util.enable_persistent_compilation_cache()
+        prefetch_prefix = os.environ.get("RIFFUSION_TPU_AOT_PREFETCH")
+        if prefetch_prefix and self.device != "cpu":
+            # start deserializing the named stored executables NOW so the
+            # (tens of seconds for a flagship program) device load overlaps
+            # weight synthesis instead of serializing after it (aot.py).
+            # Opt-in by key prefix: loading EVERY artifact would waste relay
+            # bandwidth in processes that use one program (bench phases).
+            aot.prefetch("" if prefetch_prefix == "1" else prefetch_prefix)
 
         # flash eligibility must follow the pipeline's ACTUAL target device:
         # a CPU-jitted program on a TPU-default host must not emit pallas ops
@@ -329,7 +353,16 @@ class RiffusionPipeline:
             )
             return image_u8, _waveform_to_int16(waveform)
 
-        return jax.jit(program)
+        # AOT-store-backed: a serving restart loads the serialized executable
+        # from disk (the traced-UNet-artifact equivalent; see aot.py)
+        return aot.AotProgram(
+            program,
+            _aot_key(
+                "riffuse", scheduler, num_steps, t_start, noise_timestep,
+                f"{height}x{width}", f"L{seq_len}", f"m{int(use_mask)}",
+                repr(fused_params), num_gl_iters,
+            ),
+        )
 
     def converter(self, params: SpectrogramParams) -> SpectrogramConverter:
         if params not in self._converters:
@@ -491,18 +524,29 @@ class RiffusionPipeline:
         params: T.Optional[SpectrogramParams] = None,
     ) -> T.Dict[str, float]:
         """Stage-timed first call for restart diagnostics: host prep (text
-        encode + plan), jaxpr trace + HLO lower, compile (a persistent-cache
-        hit is an executable deserialization), first execute incl. readback.
+        encode + plan), executable acquisition (AOT-store load when the
+        artifact exists — see aot.py — else trace+lower+compile, served by
+        the persistent XLA cache when warm), first execute incl. readback.
         The breakdown tells a deployment which term dominates its restart
         cost (round-2 VERDICT weak #1 asked for exactly this)."""
         import time as _time
 
-        report: T.Dict[str, float] = {}
+        report: T.Dict[str, T.Any] = {}
         t0 = _time.time()
         program, args = self._build_call(
             inputs, init_image, None, True, params or SpectrogramParams()
         )
         report["host_prep_s"] = _time.time() - t0
+        if isinstance(program, aot.AotProgram):
+            stage = program.stage_report(args)
+            report["source"] = stage["source"]
+            report["aot_load_s"] = stage.get("aot_load_s", 0.0)
+            report["trace_lower_s"] = stage.get("trace_lower_s", 0.0)
+            report["compile_s"] = stage.get("compile_s", 0.0)
+            t0 = _time.time()
+            jax.device_get(program(*args))
+            report["execute_s"] = _time.time() - t0
+            return report
         t0 = _time.time()
         lowered = program.lower(*args)
         report["trace_lower_s"] = _time.time() - t0
@@ -544,7 +588,10 @@ class RiffusionPipeline:
             image01 = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)
             return jnp.round(image01[0] * 255.0).astype(jnp.uint8)
 
-        return jax.jit(program)
+        return aot.AotProgram(
+            program,
+            _aot_key("txt2img", scheduler, num_steps, f"{height}x{width}", f"L{seq_len}"),
+        )
 
     @functools.lru_cache(maxsize=8)
     def _txt2img_batch_program(self, scheduler: str, num_steps: int, height: int,
@@ -610,7 +657,13 @@ class RiffusionPipeline:
             )(mel_amps, keys[:, 1])  # (N, C, samples)
             return images_u8, _waveform_to_int16(waveforms)
 
-        return jax.jit(program)
+        return aot.AotProgram(
+            program,
+            _aot_key(
+                "txt2img_batch", scheduler, num_steps, f"{height}x{width}",
+                f"L{seq_len}", f"b{batch}", repr(fused_params),
+            ),
+        )
 
     def txt2img_audio_batch(
         self,
@@ -863,7 +916,16 @@ class RiffusionPipeline:
                 in_shardings=(rep, rep, data, rep, rep, data, data, data, rep),
                 out_shardings=(data, data),
             )
-        return jax.jit(program)
+        # single-device batch programs are AOT-store-backed; the mesh variant
+        # above stays plain jit (serialized executables pin device topology)
+        return aot.AotProgram(
+            program,
+            _aot_key(
+                "riffuse_batch", scheduler, num_steps, t_start, noise_timestep,
+                f"{height}x{width}", f"L{seq_len}", f"b{batch}",
+                repr(fused_params), f"p{int(per_item_image)}", f"m{int(use_mask)}",
+            ),
+        )
 
     def _replicated_state(self, mesh: jax.sharding.Mesh, params: SpectrogramParams):
         """Params + DSP consts replicated over the mesh, cached per mesh (the
@@ -1090,7 +1152,13 @@ class RiffusionPipeline:
             image01 = jnp.clip(decoded / 2.0 + 0.5, 0.0, 1.0)
             return jnp.round(image01[0] * 255.0).astype(jnp.uint8)
 
-        return jax.jit(program)
+        return aot.AotProgram(
+            program,
+            _aot_key(
+                "magic_mix", scheduler, num_steps, t_start, noise_timestep,
+                f"{height}x{width}", f"L{seq_len}", kmin_t, mix_factor,
+            ),
+        )
 
     def img2img_magic_mix(
         self,

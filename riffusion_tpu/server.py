@@ -19,6 +19,7 @@ import dataclasses
 import io
 import json
 import logging
+import os
 import threading
 import time
 import typing as T
@@ -316,6 +317,9 @@ def run_app(
     logging.getLogger().addHandler(logging.FileHandler("server.log"))
 
     global PIPELINE
+    # A serving boot wants every stored riffuse executable (singles + batch
+    # buckets) loading in the background while the model loads (aot.py).
+    os.environ.setdefault("RIFFUSION_TPU_AOT_PREFETCH", "riffuse")
     PIPELINE = RiffusionPipeline.load_checkpoint(
         checkpoint=checkpoint,
         use_traced_unet=not no_traced_unet,

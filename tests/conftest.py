@@ -10,6 +10,10 @@ import time (pytest imports conftest first).
 import os
 
 os.environ.setdefault("RIFFUSION_TEST_DEVICE", "cpu")
+# The AOT executable store (riffusion_tpu/aot.py) is a deploy-time artifact;
+# tests must not litter ~/.cache with CPU executables for every tiny program
+# shape. The dedicated tests (test_aot.py) opt back in with a tmp store dir.
+os.environ.setdefault("RIFFUSION_TPU_NO_AOT", "1")
 if os.environ["RIFFUSION_TEST_DEVICE"] == "cpu":
     # Override any ambient accelerator platform (e.g. a tunneled TPU whose
     # PJRT plugin a sitecustomize registers at interpreter start — env vars
