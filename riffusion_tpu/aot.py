@@ -115,15 +115,16 @@ def save(key: str, compiled, args: T.Any) -> T.Optional[str]:
     try:
         from jax.experimental import serialize_executable as se
 
-        payload, in_tree, out_tree = se.serialize(compiled)
         # record the executable's platform: deserialize_and_load defaults to
         # the process default backend, which is WRONG for e.g. a CPU-pinned
-        # pipeline on a TPU host (the foreign plugin rejects the payload)
+        # pipeline on a TPU host (the foreign plugin rejects the payload).
+        # Checked BEFORE serializing so gated-off CPU compiles pay nothing.
         platform = (
             compiled._executable.xla_extension_executable().local_devices()[0].platform
         )
         if not _platform_ok(platform):
             return None
+        payload, in_tree, out_tree = se.serialize(compiled)
         exe_path, trees_path = _paths(key, args)
         os.makedirs(os.path.dirname(exe_path), exist_ok=True)
         # write-then-rename: a concurrent reader never sees a torn file
@@ -268,6 +269,14 @@ class AotProgram:
 
     def lower(self, *args):
         return self._jit.lower(*args)
+
+    @property
+    def jit_fn(self):
+        """The underlying jax.jit wrapper. Callers that pass NON-default
+        shardings (e.g. tensor-parallel serving re-placing the params on a
+        mesh) should call this directly: a stored executable pins the
+        shardings it was compiled with, and jit specializes per sharding."""
+        return self._jit
 
     def _resolve(self, args) -> None:
         """Obtain the executable (store hit or compile+persist), locked."""

@@ -101,6 +101,9 @@ def riffuse_audio_tp(
     (unet_params, vae_params, *rest) = args
     unet_tp, vae_repl = _tp_placed(pipeline, mesh)
     args_tp = (unet_tp, vae_repl, *(_replicate(a, mesh) for a in rest))
+    # mesh-sharded args must go to the raw jit wrapper (which specializes on
+    # shardings), not a stored single-device executable (aot.AotProgram)
+    program = getattr(program, "jit_fn", program)
     image_u8, waveform = program(*args_tp)
     image_np, waveform_np = jax.device_get((image_u8, waveform))
     from riffusion_tpu.audio.segment import AudioSegment

@@ -105,7 +105,7 @@ def test_aval_signature_distinguishes_shapes():
 
     a = (jnp.zeros((2, 3)), jnp.zeros((4,), jnp.int32))
     b = (jnp.zeros((2, 4)), jnp.zeros((4,), jnp.int32))
-    c = (jnp.zeros((2, 3)), jnp.zeros((4,), jnp.int64))
+    c = (jnp.zeros((2, 3)), jnp.zeros((4,), jnp.float16))  # int64 would silently truncate to int32 without x64
     assert aot._aval_signature(a) != aot._aval_signature(b)
     assert aot._aval_signature(a) != aot._aval_signature(c)
     assert aot._aval_signature(a) == aot._aval_signature(

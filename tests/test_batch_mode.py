@@ -24,6 +24,7 @@ def _req(i, steps=3):
     )
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_batch_matches_serial(pipe):
     rng = np.random.default_rng(1)
     init = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
@@ -59,6 +60,7 @@ def test_batch_requires_uniform_steps(pipe):
         pipe.riffuse_audio_batch([_req(0, steps=3), _req(1, steps=4)], init)
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_sharded_batch_matches_unsharded(pipe):
     """riffuse_audio_batch(mesh=...) shards the batch over the mesh 'data'
     axis; results must match the single-device batch program bit-for-bit
@@ -93,6 +95,7 @@ def test_sharded_batch_requires_divisible_batch(pipe):
         pipe.riffuse_audio_batch([_req(i) for i in range(3)], init, mesh=mesh)
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_per_item_init_images(pipe):
     """riffuse_audio_batch accepts one init image PER request (the long-audio
     clip sweep): each request's output must match the single-request result
@@ -118,6 +121,7 @@ def test_per_item_init_images(pipe):
         pipe.riffuse_audio_batch(reqs, images[:1], params=params)  # count mismatch
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_masked_batch_matches_serial(pipe):
     """Batched inpainting: a shared mask in the batch program must reproduce
     the single-request masked result per item."""

@@ -167,6 +167,7 @@ def test_main_rejects_unknown_flag(capsys):
         cli.main(["audio-to-image", "--nope", "x"])
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_text_to_audio_command(tmp_path):
     """CLI text-to-audio: one fused program -> wav (+ optional PNG)."""
     import wave
@@ -189,6 +190,7 @@ def test_text_to_audio_command(tmp_path):
     assert np.abs(data).max() > 1000
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_stream_command(tmp_path, capsys):
     """CLI stream: overlapped (double-buffered) clip generation along the
     prompt-interpolation walk, crossfade-stitched into one track — the
@@ -224,6 +226,7 @@ def test_stream_command(tmp_path, capsys):
     assert "x realtime" in capsys.readouterr().out
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_finetune_command(tmp_path):
     """CLI finetune: builds the latent dataset from audio, trains 1 step,
     exports a loadable checkpoint (same tiny geometry as tests/test_finetune.py

@@ -126,6 +126,7 @@ def finetune_run(dataset_dir, tmp_path_factory):
     return cfg, out, stats
 
 
+@pytest.mark.slow  # full train-step compile (multi-minute on 1 core); CI slow job
 def test_finetune_trains_and_logs(finetune_run):
     cfg, out, stats = finetune_run
     assert stats["steps"] == 4
@@ -138,6 +139,7 @@ def test_finetune_trains_and_logs(finetune_run):
     assert (out / "checkpoints" / "state_4").is_dir()
 
 
+@pytest.mark.slow  # full train-step compile (multi-minute on 1 core); CI slow job
 def test_finetune_export_loads_and_riffuses(finetune_run):
     _, out, stats = finetune_run
     tuned = RiffusionPipeline.load_checkpoint(stats["export_dir"], device="cpu")
@@ -170,6 +172,7 @@ def test_finetune_export_loads_and_riffuses(finetune_run):
     assert img.size == (64, 64)
 
 
+@pytest.mark.slow  # full train-step compile (multi-minute on 1 core); CI slow job
 def test_finetune_ema_lags_raw_params(finetune_run):
     """EMA export must differ from both the init and the raw final params."""
     cfg, out, stats = finetune_run
@@ -181,6 +184,7 @@ def test_finetune_ema_lags_raw_params(finetune_run):
     assert not np.allclose(p, e)
 
 
+@pytest.mark.slow  # full train-step compile (multi-minute on 1 core); CI slow job
 def test_finetune_resume_continues(dataset_dir, tmp_path_factory):
     """Re-invoking with larger steps resumes from the newest checkpoint and
     reproduces the uninterrupted run's data stream."""

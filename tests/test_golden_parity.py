@@ -26,9 +26,12 @@ CLIP = REF / "clips" / "clip_2_start_103694_ms_duration_5678_ms.wav"
 GOLDEN_MONO = REF / "images" / "clip_2_start_103694_ms_duration_5678_ms.png"
 GOLDEN_STEREO = REF / "images" / "clip_2_start_103694_ms_duration_5678_ms_stereo.png"
 
-pytestmark = pytest.mark.skipif(
-    not CLIP.exists(), reason="reference test data not available"
-)
+pytestmark = [
+    pytest.mark.skipif(not CLIP.exists(), reason="reference test data not available"),
+    # multi-minute DSP compiles at the full 5.68 s clip geometry: runs in the
+    # dedicated CI slow job (ci.yml slow-tests), keeping the main matrix fast
+    pytest.mark.slow,
+]
 
 
 def _spectral_profile(x: np.ndarray, rate: int) -> np.ndarray:

@@ -27,6 +27,10 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# fp64 whole-model forwards on both frameworks are multi-minute on one core:
+# dedicated CI slow job (ci.yml slow-tests); per-layer oracles stay fast
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -266,6 +266,7 @@ def test_frame_sweep_sharded():
     assert not np.array_equal(frames[0], frames[-1])
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_restyle_audio_batched_interpolation_matches_structure():
     """Long-audio interpolation restyle runs the clip sweep as one batched
     device program (per-clip seed images); output covers the full duration
@@ -315,6 +316,7 @@ def test_restyle_audio_batched_interpolation_matches_structure():
     assert not np.array_equal(np.array(images[0]), np.array(images[1]))
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_run_interpolation_batch_fused_and_sharded():
     """The alpha sweep runs as one batched fused program (images + audio in
     one dispatch), sharded over the mesh when the frame count divides the

@@ -13,6 +13,10 @@ from PIL import Image
 from riffusion_tpu.datatypes import InferenceInput, PromptInput
 from riffusion_tpu.spectrogram_params import SpectrogramParams
 
+# GSPMD-partitioned UNet compiles on the 8-device virtual mesh are
+# multi-minute on one core: dedicated CI slow job (ci.yml slow-tests)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pipe():

@@ -68,6 +68,7 @@ def small_trainer_setup():
     return trainer, params, opt_state, latents, context
 
 
+@pytest.mark.slow  # multi-minute compile on 1 core; runs in the CI slow job
 def test_checkpoint_roundtrip(tmp_path, small_trainer_setup):
     trainer, params, opt_state, latents, context = small_trainer_setup
     params, opt_state = _fresh(params), _fresh(opt_state)
