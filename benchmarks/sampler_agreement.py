@@ -40,17 +40,37 @@ rounding feeds the discretely-conditioned UNet slightly different drift, so
 ~0.006 is the convergence floor between grids, not solver error. Reading:
 every Karras config at >=16 steps is as close to gold as the reference's
 own ddim-50/euler-50; unipc_k-12 and dpmpp-20 are genuinely worse.
-Verdict: serving.FAST_PRESET = unipc_k-16 (3.1x fewer UNet evals than
-pndm-50, 1.75x fewer than the previous dpmpp-28 preset).
 Order-3 probe (same harness, _make_unipc_plan(order=3)): 12 steps 0.0126
 (WORSE than order-2's 0.0114 — the wider stencil is less stable on the
 coarse high-sigma intervals) and 16 steps 0.0099 (no gain over order-2's
-0.0097). Order 2 stays the default; 16 steps is the frontier.
-img2img probe (riffuse at strength 0.75, the serving request shape, rel-L2
-vs the pndm-50 parity output, seeds 42/43): ddim-50 0.0072, dpmpp-28
-0.0097, unipc_k-16 0.0140 — the FAST preset sits within ~2x of the 50-step
-cross-scheduler spread on served requests; parity mode honors requests
-verbatim for callers that need bit-level scheduler fidelity.
+0.0097). Order 2 stays the default.
+
+THE FORMAL FAST-PRESET GATE is `--mode img2img` — the serving request
+shape (riffuse at strength 0.75 from a real seed image), because that is
+what `--serving-preset fast` actually rewrites. Measured 2026-08-19 (v5e,
+random:full, 512x512, gold = dpmpp-200 on the SAME img2img shape, mean
+over seeds 42/43/44; full JSON in benchmarks/img2img_gate_2026-08-19.json):
+    euler-50    0.00855  } the band the reference's own
+    pndm-50     0.00857  } 50-step schedulers span:
+    ddim-50     0.01022  } [0.00855, 0.01022]
+    dpmpp-28    0.00818   beats the parity bar
+    dpmpp-24    0.00855   beats the parity bar
+    unipc-24    0.00881   inside the band
+    dpmpp-20    0.01001   inside the band  <- serving.FAST_PRESET
+    unipc-20    0.01028   outside (by 0.6%)
+    dpmpp_k-24  0.01115   outside
+    unipc_k-24  0.01112   outside
+    unipc_k-20  0.01199   outside
+    unipc_k-16  0.01242   outside (the round-3 preset; retired)
+Reading: on img2img the served trajectory starts mid-grid on the LINEAR
+timestep grid (parity with the reference's strength semantics), so every
+Karras-grid config pays a cross-grid drift penalty that swamps its solver
+advantage — the txt2img ranking (where unipc_k-16 wins) INVERTS here.
+Verdict: serving.FAST_PRESET = dpmpp-20 (2.5x fewer UNet evals than
+pndm-50), the fastest config inside the 50-step band on the serving shape;
+dpmpp-24 beats the pndm-50 parity bar outright for deployments that want
+margin. Parity mode honors requests verbatim for callers that need
+bit-level scheduler fidelity.
 """
 
 from __future__ import annotations
@@ -91,6 +111,11 @@ IMG2IMG_CONFIGS = [
     ("ddim", 50),
     ("euler", 50),
     ("dpmpp", 28),
+    ("dpmpp", 24),
+    ("dpmpp", 20),
+    ("unipc", 24),
+    ("unipc", 20),
+    ("unipc", 16),
     ("dpmpp_k", 24),
     ("unipc_k", 24),
     ("unipc_k", 20),

@@ -311,8 +311,9 @@ def stream(
     BASELINE.json 'real-time streaming: overlapped clip generation +
     crossfade at >1x realtime' config). Clips are crossfade-stitched into
     one continuous track; prints the steady-state realtime factor with the
-    compile warmed before the clock (measured 17.8x realtime at --fast,
-    batch 8, one v5e, 2026-08-17). --fast serves every
+    compile warmed before the clock (measured 17.8x realtime at batch 8 on
+    one v5e, 2026-08-17, when the FAST preset was 16 steps; the dpmpp-20
+    preset costs ~25% more UNet evals per clip). --fast serves every
     clip at the serving FAST preset (serving.FAST_PRESET). The reference
     generates interpolation frames one blocking call at a time
     (streamlit/tasks/interpolation.py:146-173)."""

@@ -309,10 +309,10 @@ def run_app(
     coalesced into one batched device program (serving.DynamicBatcher) —
     aggregate throughput instead of the reference's one-at-a-time model.
     serving_preset (batching only): "fast" runs every request at the
-    few-step FAST preset (serving.FAST_PRESET, unipc_k-16: 50-step quality
-    per the convergence gate + measured sampler-agreement sweep, ~1.5x the
-    28-step throughput); "parity" honors each request's scheduler/steps
-    verbatim."""
+    few-step FAST preset (serving.FAST_PRESET, dpmpp-20: inside the
+    50-step band on the img2img serving-shape gate, see
+    benchmarks/sampler_agreement.py --mode img2img); "parity" honors each
+    request's scheduler/steps verbatim."""
     logging.basicConfig(level=logging.INFO)
     logging.getLogger().addHandler(logging.FileHandler("server.log"))
 

@@ -44,19 +44,23 @@ if T.TYPE_CHECKING:  # pragma: no cover
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
 
 
-#: Serving FAST preset: the UniPC-style predictor-corrector on the Karras
-#: sigma grid at 16 steps — 3.1x fewer UNet evaluations than 50-step PNDM,
-#: 1.75x fewer than the previous dpmpp-28 preset. Quality evidence, both
-#: measured: (1) the exact-eps convergence gate
-#: (tests/test_schedulers.py::test_unipc_k_low_step_beats_pndm_50), and
-#: (2) the full-model sampler-agreement sweep
-#: (benchmarks/sampler_agreement.py): unipc_k-16 lands at rel-L2 0.0097
-#: from the dpmpp-200 gold — inside the band the reference's own 50-step
-#: schedulers span (pndm 0.0078, ddim 0.0093, euler 0.0095) and close to
-#: the 0.006 cross-grid convergence floor. Throughput-per-QUALITY, not
-#: per-step (the reference's bar is quality in <5 s, README.md:80-81).
-#: The PARITY preset honors each request verbatim.
-FAST_PRESET = {"scheduler": "unipc_k", "steps": 16}
+#: Serving FAST preset: DPM-Solver++(2M) on the LINEAR timestep grid at 20
+#: steps — 2.5x fewer UNet evaluations than 50-step PNDM. Gated on the
+#: SERVING shape, not txt2img (round-3 verdict: the old unipc_k-16 preset
+#: passed the txt2img gate but landed ~2x outside the 50-step band on the
+#: img2img requests serving actually runs). The formal gate is
+#: `benchmarks/sampler_agreement.py --mode img2img` (riffuse at strength
+#: 0.75, rel-L2 of the decoded image vs a dpmpp-200 gold, seeds 42/43/44,
+#: measured 2026-08-19 on v5e): the reference's own 50-step schedulers span
+#: [0.00855 (euler), 0.01022 (ddim)], and dpmpp-20 lands at 0.01001 —
+#: INSIDE that band — while unipc_k-16 (0.01242), unipc_k-20 (0.01199) and
+#: every Karras-grid config sit outside it (the served trajectory is
+#: linear-grid, so cross-grid drift costs more than solver order buys).
+#: dpmpp-24 (0.00855) even beats the pndm-50 parity bar for callers that
+#: want margin. Throughput-per-QUALITY, not per-step (the reference's bar
+#: is quality in <5 s, README.md:80-81). The PARITY preset honors each
+#: request verbatim.
+FAST_PRESET = {"scheduler": "dpmpp", "steps": 20}
 
 
 @dataclasses.dataclass
@@ -90,8 +94,8 @@ class DynamicBatcher:
     ):
         """`scheduler`/`steps_override` implement the serving FAST preset
         (see FAST_PRESET above): a few-step sampler at 50-step quality, so
-        serving deployments can run every request at e.g. unipc_k-16 for
-        ~3x the throughput. None = honor each request's own scheduler/steps
+        serving deployments can run every request at e.g. dpmpp-20 for
+        ~2.5x the throughput. None = honor each request's own scheduler/steps
         (parity with the reference's per-request semantics)."""
         self.pipeline = pipeline
         self.max_batch = max_batch
