@@ -109,6 +109,14 @@ import os as _os
 #  "cast":  naive bf16 einsum with explicit fp32 cast around softmax
 ATTENTION_IMPL = _os.environ.get("RIFFUSION_TPU_ATTENTION", "flash")
 
+# Einsum variant used at non-flash sites (the hybrid gate's fallback and the
+# einsum-window sites). "pref" = (b,s,h,d) layouts; "pret" = merged
+# (b,S,H*D) <-> (b,H*D,S) transposes so the attention matmuls see a
+# 128-friendly minor dim (S) instead of head_dim (40) — candidate fix for the
+# five ~14 ms/step K-transpose kOutput fusions at the seq-4096 sites
+# (benchmarks/unet_profile_2026-08-19.json, 24% of the b32 CFG step).
+EINSUM_VARIANT = _os.environ.get("RIFFUSION_TPU_EINSUM_VARIANT", "pref")
+
 # Flash-gate tunables (read at trace time; module-level so benchmarks can A/B
 # them without code edits). Defaults are the measured-best configuration for
 # the FULL UNet step on v5e (isolated-op benches mislead — XLA fuses einsum
@@ -214,6 +222,35 @@ class Attention(nn.Module):
                 logits.astype(precise_dtype(self.dtype)), axis=-1
             ).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        elif ATTENTION_IMPL == "pret" or EINSUM_VARIANT == "pret":
+            # Same math as "pref", but every layout change is a merged
+            # (b, S, H*D) <-> (b, H*D, S) transpose — both dims 128-friendly —
+            # instead of leaving XLA to materialize (b,h,d,s) copies with a
+            # head_dim-wide minor dim.
+            def to_bhds(x, s):
+                return (
+                    x.reshape(b, s, inner)
+                    .transpose(0, 2, 1)
+                    .reshape(b, self.num_heads, self.head_dim, s)
+                )
+
+            qT = to_bhds(q, lq)
+            kT = to_bhds(k, lk)
+            vT = to_bhds(v, lk)
+            logits = (
+                jnp.einsum(
+                    "bhdq,bhdk->bhqk", qT, kT,
+                    preferred_element_type=precise_dtype(self.dtype),
+                )
+                * scale
+            )
+            weights = jax.nn.softmax(logits, axis=-1)
+            outT = jnp.einsum("bhqk,bhdk->bhdq", weights.astype(vT.dtype), vT)
+            out = (
+                outT.reshape(b, inner, lq)
+                .transpose(0, 2, 1)
+                .reshape(b, lq, self.num_heads, self.head_dim)
+            )
         else:  # "pref"
             logits = (
                 jnp.einsum(

@@ -170,24 +170,42 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
     # exercise real FLOPs deterministically.
     pool_size = 1 << 20
 
-    def materialize(shapes):
-        counter = [0]
+    def materialize(shapes, out_dtype=None):
+        """Synthesize a param tree. Two relay-bandwidth optimizations (on a
+        tunneled TPU, program OUTPUT bytes ship at ~20-35 MB/s, measured —
+        the 4.26 GB full bundle cost ~2 min of every warm start):
 
-        def leaf_spec(path, s_):
+        1. Leaves are DEDUPLICATED by (kind, shape, dtype, std): every leaf
+           with the same spec shares ONE device buffer (unique shapes are
+           ~19% of the full bundle's bytes). Repeated values across layers
+           are fine for FLOP-exercising weights; norm layers re-center
+           activations between blocks.
+        2. `out_dtype` synthesizes floating leaves directly in the serving
+           dtype (bf16 for UNet/CLIP), halving output bytes and removing the
+           pipeline's whole-tree cast program (another full-size output).
+        """
+
+        def leaf_key(path, s_):
             name = path[-1].key if path else ""
+            dt = s_.dtype
+            if out_dtype is not None and jnp.issubdtype(dt, jnp.floating):
+                dt = jnp.dtype(out_dtype)
             if name == "bias":
-                return ("zeros", s_, 0, 0.0)
+                return ("zeros", tuple(s_.shape), jnp.dtype(dt).name, 0.0)
             if name == "scale":
-                return ("ones", s_, 0, 0.0)
+                return ("ones", tuple(s_.shape), jnp.dtype(dt).name, 0.0)
             fan_in = int(np.prod(s_.shape[:-1])) if len(s_.shape) > 1 else s_.shape[0]
-            std = 1.0 / np.sqrt(max(fan_in, 1))
-            counter[0] += 1
-            start = (counter[0] * 99991) % pool_size
-            return ("pool", s_, start, std)
+            std = float(1.0 / np.sqrt(max(fan_in, 1)))
+            return ("pool", tuple(s_.shape), jnp.dtype(dt).name, std)
 
-        specs = jax.tree_util.tree_map_with_path(
-            leaf_spec, shapes, is_leaf=lambda x: hasattr(x, "shape")
+        keys_tree = jax.tree_util.tree_map_with_path(
+            leaf_key, shapes, is_leaf=lambda x: hasattr(x, "shape")
         )
+        uniq: dict = {}
+        for k_ in jax.tree.leaves(keys_tree, is_leaf=lambda x: isinstance(x, tuple)):
+            if k_ not in uniq:
+                # rotating start offset decorrelates distinct shapes
+                uniq[k_] = (len(uniq) * 99991) % pool_size
 
         def build(key):
             pool = jax.random.normal(key, (pool_size,), jnp.float32)
@@ -197,27 +215,36 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
             # *cached* compile cost ~20 s per tree; XLA CSEs the shared
             # tile/concat across leaves).
             tiled = {1: pool}
-
-            def make(spec):
-                kind, s_, start, std = spec
+            out = {}
+            for spec, start in uniq.items():
+                kind, shape, dtname, std = spec
+                dt = jnp.dtype(dtname)
                 if kind == "zeros":
-                    return jnp.zeros(s_.shape, s_.dtype)
+                    out[spec] = jnp.zeros(shape, dt)
+                    continue
                 if kind == "ones":
-                    return jnp.ones(s_.shape, s_.dtype)
-                n = int(np.prod(s_.shape)) if s_.shape else 1
+                    out[spec] = jnp.ones(shape, dt)
+                    continue
+                n = int(np.prod(shape)) if shape else 1
                 reps = -(-(start + n) // pool_size)  # ceil
                 if reps not in tiled:
                     tiled[reps] = jnp.tile(pool, reps)
                 seg = jax.lax.slice_in_dim(tiled[reps], start, start + n)
-                return (seg.reshape(s_.shape) * std).astype(s_.dtype)
+                out[spec] = (seg.reshape(shape) * std).astype(dt)
+            return out
 
-            return jax.tree.map(make, specs, is_leaf=lambda x: isinstance(x, tuple))
+        built = jax.jit(build)(jax.random.PRNGKey(seed))
+        # Assemble the full tree OUTSIDE the jit so duplicate leaves are the
+        # same jax.Array object (one device buffer, shipped once).
+        return jax.tree.map(
+            lambda k_: built[k_], keys_tree, is_leaf=lambda x: isinstance(x, tuple)
+        )
 
-        return jax.jit(build)(jax.random.PRNGKey(seed))
-
-    unet_params = materialize(unet_shapes)
-    vae_params = materialize(vae_shapes)
-    clip_params = materialize(clip_shapes)
+    # UNet/CLIP in the bundle dtype (the pipeline's compute/storage dtype);
+    # the VAE always serves fp32 (riffusion_pipeline.py:119-124).
+    unet_params = materialize(unet_shapes, out_dtype=dtype)
+    vae_params = materialize(vae_shapes, out_dtype=jnp.float32)
+    clip_params = materialize(clip_shapes, out_dtype=dtype)
 
     return ModelBundle(
         unet_config=unet_cfg,
