@@ -33,14 +33,21 @@ def parse(log: str) -> dict:
     )
     if m:
         vals["fast_s"], vals["fast_rt"] = m.group(1), m.group(2)
-    # last parity batch (the biggest batch size run)
-    for m in re.finditer(
+    # biggest parity batch run, with ITS OWN sustained number (each batch's
+    # "sustained (pipelined)" line follows its "batched throughput" line;
+    # pairing by position keeps the row's size label and numbers consistent)
+    batch_matches = list(re.finditer(
         r"batched throughput: [\d.]+ s for (\d+) clips = ([\d.]+) clips/s", log
-    ):
-        vals["batch_n"], vals["batch_cps"] = m.group(1), m.group(2)
-    sustained = re.findall(r"sustained \(pipelined\) throughput: ([\d.]+) clips/s", log)
-    if sustained:
-        vals["sustained_cps"] = sustained[-1]
+    ))
+    sustained_matches = list(re.finditer(
+        r"sustained \(pipelined\) throughput: ([\d.]+) clips/s", log
+    ))
+    if batch_matches:
+        best = max(batch_matches, key=lambda m: int(m.group(1)))
+        vals["batch_n"], vals["batch_cps"] = best.group(1), best.group(2)
+        following = [s for s in sustained_matches if s.start() > best.end()]
+        if following:
+            vals["sustained_cps"] = following[0].group(1)
     m = re.search(r"SERVING PRESET \(([\w-]+)\) sustained: ([\d.]+) clips/s \(([\d.]+)x realtime", log)
     if m:
         vals["preset_name"], vals["preset_cps"], vals["preset_rt"] = m.groups()
@@ -122,6 +129,19 @@ def main() -> None:
     vals["source"] = source
     if "e2e_s" not in vals:
         raise SystemExit("no 'best end-to-end' line found in the log; refusing to rewrite")
+    # The preset NAME in the table must describe what the server actually
+    # ships (round-4 VERDICT: the table advertised a retired preset). If the
+    # measured log predates a preset change, refuse to publish it.
+    sys.path.insert(0, str(README.parent))
+    from riffusion_tpu.serving import FAST_PRESET
+
+    shipped = f"{FAST_PRESET['scheduler']}-{FAST_PRESET['steps']}"
+    if vals.get("preset_name") and vals["preset_name"] != shipped:
+        raise SystemExit(
+            f"measured preset {vals['preset_name']!r} != shipped serving.FAST_PRESET "
+            f"{shipped!r}; re-run bench.py against the current code instead"
+        )
+    vals.setdefault("preset_name", shipped)
     src = README.read_text()
     new = re.sub(
         r"<!-- BENCH:begin -->.*?<!-- BENCH:end -->",
