@@ -108,6 +108,52 @@ def _paths(key: str, args: T.Any) -> T.Tuple[str, str]:
     return stem + ".exe", stem + ".trees"
 
 
+#: Globals a stored .trees file may reference. Entries are (in_tree,
+#: out_tree, platform, payload_digest) where the trees are PyTreeDefs over
+#: builtin containers; anything else in the pickle stream is rejected, so a
+#: corrupted or attacker-written store entry cannot execute code at load
+#: (the store directory is env-var-overridable shared state, a wider blast
+#: radius than the XLA compile cache it replaces).
+_TREES_ALLOWED_GLOBALS = {
+    ("jaxlib._jax.pytree", "PyTreeDef"),
+    ("jax._src.tree_util", "default_registry"),
+}
+
+
+class _TreesUnpickler(pickle.Unpickler):
+    def find_class(self, module: str, name: str):
+        if (module, name) in _TREES_ALLOWED_GLOBALS:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"store metadata references disallowed global {module}.{name}"
+        )
+
+
+def _payload_digest(payload: bytes) -> str:
+    # blake2b: ~2x sha256 throughput on this host; the hash runs in the
+    # prefetch thread, overlapped with model load, so it is off the
+    # warm-start critical path
+    return hashlib.blake2b(payload, digest_size=16).hexdigest()
+
+
+def _read_entry(stem: str):
+    """Read + validate one (exe, trees) pair; returns a loaded Compiled or
+    None when the entry is gated off. Raises on corruption/mismatch."""
+    from jax.experimental import serialize_executable as se
+
+    with open(stem + ".exe", "rb") as f:
+        payload = f.read()
+    with open(stem + ".trees", "rb") as f:
+        meta = _TreesUnpickler(f).load()
+    in_tree, out_tree, platform, digest = meta
+    if digest != _payload_digest(payload):
+        raise ValueError("stored executable does not match its recorded digest")
+    if not _platform_ok(platform):
+        return None
+    # an unavailable platform raises inside jax.devices() -> clean miss
+    return se.deserialize_and_load(payload, in_tree, out_tree, backend=platform)
+
+
 def save(key: str, compiled, args: T.Any) -> T.Optional[str]:
     """Serialize a jax Compiled into the store. Returns the path or None."""
     if not enabled():
@@ -127,10 +173,11 @@ def save(key: str, compiled, args: T.Any) -> T.Optional[str]:
         payload, in_tree, out_tree = se.serialize(compiled)
         exe_path, trees_path = _paths(key, args)
         os.makedirs(os.path.dirname(exe_path), exist_ok=True)
+        digest = _payload_digest(payload)
         # write-then-rename: a concurrent reader never sees a torn file
         for path, write in (
             (exe_path, lambda f: f.write(payload)),
-            (trees_path, lambda f: pickle.dump((in_tree, out_tree, platform), f)),
+            (trees_path, lambda f: pickle.dump((in_tree, out_tree, platform, digest), f)),
         ):
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "wb") as f:
@@ -150,24 +197,25 @@ def load(key: str, args: T.Any) -> T.Optional[T.Any]:
     stem = exe_path[: -len(".exe")]
     event = _PREFETCH_EVENTS.get(stem)
     if event is not None:
-        event.wait()
+        # Guarded wait: the worker's outer finally sets every remaining event
+        # even when it dies mid-run, and a dead-or-never-started worker is
+        # detected here — either way load() falls through to a direct disk
+        # read instead of blocking the serving boot forever (round-4 ADVICE).
+        while not event.is_set():
+            thread = _PREFETCH_THREAD
+            if thread is None or not thread.is_alive():
+                warnings.warn(
+                    f"AOT prefetch for {key} never completed; reading directly"
+                )
+                break
+            event.wait(timeout=1.0)
         compiled = _PREFETCHED.get(stem)
         if compiled is not None:
             return compiled
     if not (os.path.exists(exe_path) and os.path.exists(trees_path)):
         return None
     try:
-        from jax.experimental import serialize_executable as se
-
-        with open(exe_path, "rb") as f:
-            payload = f.read()
-        with open(trees_path, "rb") as f:
-            meta = pickle.load(f)
-        in_tree, out_tree, platform = meta
-        if not _platform_ok(platform):
-            return None
-        # an unavailable platform raises inside jax.devices() -> clean miss
-        return se.deserialize_and_load(payload, in_tree, out_tree, backend=platform)
+        return _read_entry(stem)
     except Exception as e:
         warnings.warn(f"AOT store load failed for {key}: {e}")
         return None
@@ -176,6 +224,7 @@ def load(key: str, args: T.Any) -> T.Optional[T.Any]:
 _PREFETCHED: T.Dict[str, T.Any] = {}
 _PREFETCH_EVENTS: T.Dict[str, threading.Event] = {}
 _PREFETCH_STARTED = False
+_PREFETCH_THREAD: T.Optional[threading.Thread] = None
 
 
 def prefetch(key_prefix: str = "", block: bool = False) -> None:
@@ -184,49 +233,66 @@ def prefetch(key_prefix: str = "", block: bool = False) -> None:
     load/weight synthesis at boot. `load()` consults the prefetched table
     first and waits for an in-flight entry instead of re-reading it.
 
-    Idempotent; a no-op when the store is disabled or empty."""
-    global _PREFETCH_STARTED
+    Idempotent; a no-op when the store is disabled or empty. The prefetch is
+    an optimization and must never be fatal: every failure mode (unreadable
+    directory, files pruned mid-scan, a dead worker) degrades to load()'s
+    direct disk read."""
+    global _PREFETCH_STARTED, _PREFETCH_THREAD
     if not enabled():
         return
     with _LOCK:
         if _PREFETCH_STARTED:
             return
         _PREFETCH_STARTED = True
-    d = os.path.join(store_dir(), fingerprint())
-    if not os.path.isdir(d):
+    try:
+        d = os.path.join(store_dir(), fingerprint())
+        if not os.path.isdir(d):
+            return
+
+        def size_or_zero(stem: str) -> int:
+            try:  # a concurrent prune() may remove files between listdir/stat
+                return os.path.getsize(stem + ".exe")
+            except OSError:
+                return 0
+
+        stems = sorted(
+            (
+                os.path.join(d, f[: -len(".exe")])
+                for f in os.listdir(d)
+                if f.endswith(".exe") and os.path.basename(f).startswith(key_prefix)
+            ),
+            key=size_or_zero,
+        )
+        if not stems:
+            return
+        for stem in stems:
+            _PREFETCH_EVENTS[stem] = threading.Event()
+    except Exception as e:
+        warnings.warn(f"AOT prefetch scan failed: {e}")
         return
-    stems = sorted(
-        (
-            os.path.join(d, f[: -len(".exe")])
-            for f in os.listdir(d)
-            if f.endswith(".exe") and os.path.basename(f).startswith(key_prefix)
-        ),
-        key=lambda stem: os.path.getsize(stem + ".exe"),
-    )
-    if not stems:
-        return
-    for stem in stems:
-        _PREFETCH_EVENTS[stem] = threading.Event()
 
     def work() -> None:
-        from jax.experimental import serialize_executable as se
-
-        for stem in stems:
-            try:
-                with open(stem + ".exe", "rb") as f:
-                    payload = f.read()
-                with open(stem + ".trees", "rb") as f:
-                    in_tree, out_tree, platform = pickle.load(f)
-                if _platform_ok(platform):
-                    _PREFETCHED[stem] = se.deserialize_and_load(
-                        payload, in_tree, out_tree, backend=platform
+        try:
+            for stem in stems:
+                try:
+                    compiled = _read_entry(stem)
+                    if compiled is not None:
+                        _PREFETCHED[stem] = compiled
+                except Exception as e:
+                    warnings.warn(
+                        f"AOT prefetch failed for {os.path.basename(stem)}: {e}"
                     )
-            except Exception as e:
-                warnings.warn(f"AOT prefetch failed for {os.path.basename(stem)}: {e}")
-            finally:
+                finally:
+                    _PREFETCH_EVENTS[stem].set()
+        finally:
+            # the worker can die before its per-stem finally runs (e.g. the
+            # serialize_executable import inside _read_entry fails); release
+            # every waiter so load() falls through instead of deadlocking
+            for stem in stems:
                 _PREFETCH_EVENTS[stem].set()
 
     t = threading.Thread(target=work, name="riffusion-aot-prefetch", daemon=True)
+    _PREFETCH_THREAD = t
     t.start()
     if block:
         t.join()
@@ -264,6 +330,7 @@ class AotProgram:
         self._jit = jax.jit(fn)
         self.key = key
         self._compiled = None
+        self._demoted = False  # a stored executable rejected the arguments
         self._lock = threading.Lock()
         self.report: T.Dict[str, T.Any] = {}
 
@@ -310,20 +377,33 @@ class AotProgram:
             return dict(self.report)
 
     def __call__(self, *args):
+        if self._demoted:  # permanently demoted after a signature rejection
+            return self._jit(*args)
         if self._compiled is None:
             with self._lock:
                 if self._compiled is None:
                     self._resolve(args)
+        compiled = self._compiled
         try:
-            return self._compiled(*args)
-        except Exception as e:
-            # aval/layout mismatch against a stale or foreign executable:
-            # fall back to the normal jit path (correctness over speed)
+            return compiled(*args)
+        except (TypeError, ValueError) as e:
+            # aval/layout/tree-structure mismatch against a stale or foreign
+            # executable: demote this instance to the jit path PERMANENTLY —
+            # retrying the rejected executable every call would pay the
+            # exception + warning forever, and the stage report must stop
+            # claiming a zero-compile store hit (round-4 ADVICE). Anything
+            # else (XlaRuntimeError: OOM, relay loss, ...) is a real runtime
+            # failure on valid arguments and re-raises: silently re-running
+            # the full program via jit would hide it behind a double
+            # execution and a compile.
             warnings.warn(
                 f"AOT executable for {self.key} rejected the arguments "
-                f"({type(e).__name__}: {str(e)[:300]}); falling back to jit"
+                f"({type(e).__name__}: {str(e)[:300]}); falling back to jit permanently"
             )
-            self.report["source"] = "jit-fallback"
+            with self._lock:
+                self._demoted = True
+                self._compiled = None
+                self.report["source"] = "jit-fallback"
             return self._jit(*args)
 
 
