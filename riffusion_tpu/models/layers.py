@@ -117,6 +117,16 @@ ATTENTION_IMPL = _os.environ.get("RIFFUSION_TPU_ATTENTION", "flash")
 # (benchmarks/unet_profile_2026-08-19.json, 24% of the b32 CFG step).
 EINSUM_VARIANT = _os.environ.get("RIFFUSION_TPU_EINSUM_VARIANT", "pref")
 
+# Full-row Pallas attention at the einsum-window sites (seq-4096, head_dim
+# 40): consumes q/k/v in the (b, s, h*d) layout the projections emit, so the
+# five ~14 ms/step (b,s,h,d)->(b,h,d,s) layout copies (24% of the b32 CFG
+# step, docs/performance.md) never exist. Isolated microbench
+# (benchmarks/rowattn_micro.py, v5e, 2026-08-19): 14.5 ms/site vs einsum's
+# 15.7-16.4 — and the in-context einsum additionally pays the layout copy.
+# "0" falls back to the einsum variants below at those sites.
+ROWATTN = _os.environ.get("RIFFUSION_TPU_ROWATTN", "1") != "0"
+ROWATTN_BLOCK_Q = int(_os.environ.get("RIFFUSION_TPU_ROWATTN_BLOCK_Q", "512"))
+
 # Flash-gate tunables (read at trace time; module-level so benchmarks can A/B
 # them without code edits). Defaults are the measured-best configuration for
 # the FULL UNet step on v5e (isolated-op benches mislead — XLA fuses einsum
@@ -165,11 +175,35 @@ class Attention(nn.Module):
 
         b, lq, _ = q.shape
         lk = k.shape[1]
+        scale = 1.0 / np.sqrt(self.head_dim)
+
+        # Full-row Pallas kernel at the einsum-window sites: q/k/v stay in
+        # the (b, s, h*d) projection layout end-to-end (no layout copies, no
+        # head reshape on the XLA side). Gated exactly like the einsum
+        # window it replaces; RIFFUSION_TPU_ROWATTN=0 restores the einsum.
+        einsum_window = lq >= EINSUM_SEQ_MIN and EINSUM_B_LO < b < EINSUM_B_HI
+        use_rowattn = (
+            ROWATTN
+            and self.flash  # pallas allowed on the jit target device
+            and context is None
+            and einsum_window
+            and lq % ROWATTN_BLOCK_Q == 0
+            and self.head_dim <= 128
+            and jax.default_backend() != "cpu"
+        )
+        if use_rowattn:
+            from ..ops.attention import full_row_attention
+
+            out = full_row_attention(
+                q, k, v,
+                num_heads=self.num_heads, scale=scale, block_q=ROWATTN_BLOCK_Q,
+            )
+            return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
+
         q = q.reshape(b, lq, self.num_heads, self.head_dim)
         k = k.reshape(b, lk, self.num_heads, self.head_dim)
         v = v.reshape(b, lk, self.num_heads, self.head_dim)
 
-        scale = 1.0 / np.sqrt(self.head_dim)
         # zero-padded head size: exact (padded q/k dims contribute nothing to
         # the logits; padded v columns are sliced away). head_dim 160 (the
         # 1280-ch blocks) pads to 256.
@@ -179,7 +213,6 @@ class Attention(nn.Module):
         # its block): einsum wins for batched serving at large seq, flash
         # wins everywhere at interactive batch. Tunables are module-level so
         # benchmarks can A/B them.
-        einsum_window = lq >= EINSUM_SEQ_MIN and EINSUM_B_LO < b < EINSUM_B_HI
         use_flash = (
             self.flash
             and ATTENTION_IMPL == "flash"

@@ -91,8 +91,15 @@ class DiffusionTrainer:
     def init_from(self, params):
         """Adopt existing UNet params (e.g. a loaded checkpoint bundle's):
         cast to fp32 master weights, place with the tensor-parallel layout,
-        and init matching optimizer state. Used by training/finetune.py."""
-        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+        and init matching optimizer state. Used by training/finetune.py.
+
+        The copy is unconditional (jnp.array, not asarray): synthesized
+        bundles dedupe same-spec leaves into ONE device buffer
+        (models/weights.py), and an fp32 bundle on a single-device mesh
+        would otherwise reach the donate_argnums=(0, 1) train step with the
+        same buffer behind multiple arguments — donating an aliased buffer
+        is unsupported."""
+        params = jax.tree.map(lambda x: jnp.array(x, jnp.float32, copy=True), params)
         params = shard_params(params, self.mesh)
         # eager init: zeros_like follows each param's NamedSharding, so the
         # optimizer moments land sharded on the mesh (jit-wrapping tx.init
