@@ -137,6 +137,12 @@ def main() -> None:
         "--mode", choices=("txt2img", "img2img"), default="txt2img",
         help="img2img = the FORMAL serving-shape gate (riffuse, strength 0.75)",
     )
+    parser.add_argument(
+        "--configs", nargs="+", default=None, metavar="SCHED@STEPS",
+        help="override the config grid, e.g. 'unipc_k:anchor=suffix_exact@16' "
+        "'dpmpp@20' (scheduler strings may carry :k=v grid options; the "
+        "50-step band rows are always prepended in img2img mode)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -184,6 +190,15 @@ def main() -> None:
             return np.asarray(img, np.float64) / 255.0
 
         configs = CONFIGS
+
+    if args.configs is not None:
+        chosen = []
+        for tok in args.configs:
+            name, _, steps = tok.rpartition("@")
+            chosen.append((name, int(steps)))
+        # pndm-50 (the parity bar) and the band rows must exist for scoring
+        needed = list(BAND_50) if args.mode == "img2img" else [("pndm", 50)]
+        configs = [c for c in needed if c not in chosen] + chosen
 
     golds = {}
     for seed in args.seeds:

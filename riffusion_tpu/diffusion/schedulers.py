@@ -120,7 +120,8 @@ def _karras_sigmas(
 
 
 def _sliced_grid(
-    noise: NoiseConfig, num_steps: int, t_start: int, karras: bool
+    noise: NoiseConfig, num_steps: int, t_start: int, karras: bool,
+    rho: float = 7.0, anchor: str = "respace",
 ) -> T.Tuple[np.ndarray, np.ndarray]:
     """(t, sigmas) for the EXECUTED suffix of an img2img chain.
 
@@ -130,16 +131,43 @@ def _sliced_grid(
     slicing would distort strength badly — the rho-spacing packs indices at
     low sigma, so index t_start of a 16-step Karras grid sits at sigma ~36
     where the linear grid sits at ~8, denoising far more than requested.
-    Instead anchor to the NOISE LEVEL: take the linear grid's sigma at
-    t_start as the top and respace the executed steps Karras-style below it,
-    so strength means the same thing on every scheduler and the serving FAST
-    preset (unipc_k) preserves request semantics."""
+    Instead anchor to the NOISE LEVEL, one of three ways (`anchor`; the
+    round-5 img2img re-gate measures all three — see
+    benchmarks/sampler_agreement.py):
+
+    - "respace" (default): take the linear grid's sigma at t_start as the
+      top and respace the executed steps Karras-style below it. Strength
+      means exactly what it does on the linear grid.
+    - "suffix": build the FULL num_steps Karras grid and execute from the
+      index whose sigma is nearest the linear grid's level at t_start —
+      the spacing a full Karras run would use, with strength quantized to
+      that grid (may execute a few more steps than respace).
+    - "suffix_exact": like "suffix" but the first executed sigma is REPLACED
+      by the linear grid's exact level, keeping strength semantics exact
+      while the tail keeps full-grid spacing.
+    """
+    if anchor not in ("respace", "suffix", "suffix_exact"):
+        raise ValueError(f"unknown Karras slice anchor {anchor!r}")
     if karras and 0 < t_start < num_steps:
         _, sig_lin = _interp_sigmas(noise, num_steps)
-        return _karras_sigmas(
-            noise, num_steps - t_start, sigma_max=float(sig_lin[t_start])
-        )
-    t, sigmas = (_karras_sigmas if karras else _interp_sigmas)(noise, num_steps)
+        sig_start = float(sig_lin[t_start])
+        if anchor in ("suffix", "suffix_exact"):
+            t, sigmas = _karras_sigmas(noise, num_steps, rho=rho)
+            idx = int(np.argmin(np.abs(sigmas[:-1] - sig_start)))
+            t, sigmas = t[idx:].copy(), sigmas[idx:].copy()
+            if anchor == "suffix_exact":
+                acp = noise.alphas_cumprod
+                sigmas_full = ((1 - acp) / acp) ** 0.5
+                sigmas[0] = sig_start
+                t[0] = float(np.interp(
+                    np.log(sig_start), np.log(sigmas_full),
+                    np.arange(len(sigmas_full)),
+                ))
+            return t, sigmas
+        return _karras_sigmas(noise, num_steps - t_start, rho=rho, sigma_max=sig_start)
+    t, sigmas = (
+        (lambda n, s: _karras_sigmas(n, s, rho=rho)) if karras else _interp_sigmas
+    )(noise, num_steps)
     return t[t_start:], sigmas[t_start:]
 
 
@@ -389,14 +417,15 @@ def _euler_a_step(plan, state, i, model_output, sample):
 
 
 def _make_dpmpp_plan(
-    noise: NoiseConfig, num_steps: int, t_start: int = 0, karras: bool = False
+    noise: NoiseConfig, num_steps: int, t_start: int = 0, karras: bool = False,
+    rho: float = 7.0, anchor: str = "respace",
 ) -> SchedulerPlan:
     """DPM-Solver++(2M) plan. `karras=True` (the "dpmpp_k" scheduler id) swaps
     the linear-in-t sigma grid for the Karras rho=7 schedule — same stepper,
     same plan name (every downstream dispatch is on the math family), denser
     low-sigma coverage so ~20 steps integrate the flow ODE as accurately as
     ~28 linear steps (benchmarks/sampler_agreement.py measures this)."""
-    t, sigmas = _sliced_grid(noise, num_steps, t_start, karras)
+    t, sigmas = _sliced_grid(noise, num_steps, t_start, karras, rho=rho, anchor=anchor)
     # alpha/sigma decomposition: x = alpha x0 + sigma_vp eps with
     # alpha = 1/sqrt(1+sigma^2) (k-diffusion sigma), lambda = -log(sigma_vp/alpha)
     sig = np.maximum(sigmas, 1e-10)
@@ -480,6 +509,7 @@ def _exp_lagrange_weights(t_nodes: np.ndarray, t_a: float, t_b: float) -> np.nda
 def _make_unipc_plan(
     noise: NoiseConfig, num_steps: int, t_start: int = 0,
     karras: bool = False, order: int = 2,
+    rho: float = 7.0, anchor: str = "respace",
 ) -> SchedulerPlan:
     """UniPC-style exponential predictor-corrector (Zhao et al. 2023,
     arXiv:2302.04867 structure; coefficients here are the exact
@@ -498,7 +528,7 @@ def _make_unipc_plan(
     UniPCMultistepScheduler (the reference never shipped UniPC; this is a
     capability extension motivated by throughput-per-quality).
     """
-    t, sigmas = _sliced_grid(noise, num_steps, t_start, karras)
+    t, sigmas = _sliced_grid(noise, num_steps, t_start, karras, rho=rho, anchor=anchor)
     s = len(t)
     lam = -np.log(np.maximum(sigmas, 1e-10))
 
@@ -590,9 +620,13 @@ _MAKERS: T.Dict[str, T.Callable[..., SchedulerPlan]] = {
     "euler": lambda n, s, t_start=0: _make_euler_plan(n, s, ancestral=False, t_start=t_start),
     "euler_a": lambda n, s, t_start=0: _make_euler_plan(n, s, ancestral=True, t_start=t_start),
     "dpmpp": _make_dpmpp_plan,
-    "dpmpp_k": lambda n, s, t_start=0: _make_dpmpp_plan(n, s, t_start=t_start, karras=True),
+    "dpmpp_k": lambda n, s, t_start=0, **kw: _make_dpmpp_plan(
+        n, s, t_start=t_start, karras=True, **kw
+    ),
     "unipc": _make_unipc_plan,
-    "unipc_k": lambda n, s, t_start=0: _make_unipc_plan(n, s, t_start=t_start, karras=True),
+    "unipc_k": lambda n, s, t_start=0, **kw: _make_unipc_plan(
+        n, s, t_start=t_start, karras=True, **kw
+    ),
 }
 
 _STEPPERS = {
@@ -611,6 +645,20 @@ _STEPPERS = {
 KARRAS_GRID = ("dpmpp_k", "unipc_k")
 
 
+def parse_scheduler(name: str) -> T.Tuple[str, T.Dict[str, str]]:
+    """Split a scheduler string into (base name, grid options): "unipc_k"
+    -> ("unipc_k", {}), "unipc_k:rho=3,anchor=suffix" -> ("unipc_k",
+    {"rho": "3", "anchor": "suffix"}). Base-name semantics (stepper, sigma
+    space, grid family) never vary with options."""
+    base, _, opts_s = name.partition(":")
+    opts: T.Dict[str, str] = {}
+    for tok in opts_s.split(","):
+        if tok:
+            k, _, v = tok.partition("=")
+            opts[k] = v
+    return base, opts
+
+
 def slice_anchor_timesteps(
     name: str, num_steps: int, noise: NoiseConfig = NoiseConfig()
 ) -> np.ndarray:
@@ -619,6 +667,7 @@ def slice_anchor_timesteps(
     t_start, so a caller choosing t_start from a timestep bound (MagicMix's
     kmax) must search the LINEAR grid; every other plan slices its own
     timesteps."""
+    name = parse_scheduler(name)[0]
     if name in KARRAS_GRID:
         t, _ = _interp_sigmas(noise, num_steps)
         return np.round(t).astype(np.int32)
@@ -641,10 +690,29 @@ def make_plan(
     noise: NoiseConfig = NoiseConfig(),
 ) -> SchedulerPlan:
     """Build (cached) the execution plan for `num_steps` inference steps,
-    starting at position `t_start` of the global sequence (img2img)."""
-    if name not in _MAKERS:
-        raise ValueError(f"Unknown scheduler {name!r}; choose from {SCHEDULER_NAMES}")
-    return _MAKERS[name](noise, num_steps, t_start)
+    starting at position `t_start` of the global sequence (img2img).
+
+    Karras-grid names accept grid options after a colon —
+    "unipc_k:rho=3", "dpmpp_k:anchor=suffix_exact,rho=5" — tuning the
+    rho-spacing and the img2img start anchoring (_sliced_grid). The plan's
+    `name` stays the base family, so every stepper/space dispatch is
+    unchanged; callers keying programs on the scheduler STRING (the
+    pipeline's program caches and AOT keys) see distinct variants."""
+    base, opts = parse_scheduler(name)
+    if base not in _MAKERS:
+        raise ValueError(f"Unknown scheduler {base!r}; choose from {SCHEDULER_NAMES}")
+    kwargs: T.Dict[str, T.Any] = {}
+    if opts:
+        if base not in KARRAS_GRID:
+            raise ValueError(f"grid options {opts} only apply to {KARRAS_GRID}")
+        unknown = set(opts) - {"rho", "anchor"}
+        if unknown:
+            raise ValueError(f"unknown scheduler options {sorted(unknown)}")
+        if "rho" in opts:
+            kwargs["rho"] = float(opts["rho"])
+        if "anchor" in opts:
+            kwargs["anchor"] = opts["anchor"]
+    return _MAKERS[base](noise, num_steps, t_start, **kwargs)
 
 
 def init_state(plan: SchedulerPlan, shape, dtype=jnp.float32, key: T.Optional[Array] = None):

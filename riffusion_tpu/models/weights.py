@@ -45,6 +45,11 @@ class ModelBundle:
     tokenizer: T.Any
     scheduler_name: str = "pndm"
     dtype: T.Any = jnp.bfloat16
+    #: Content identity of the loaded weights (spec+seed for random bundles,
+    #: dir stat digest for checkpoint dirs). Keys the cross-process text
+    #: embedding cache (embed_cache.py); "" disables that cache for bundles
+    #: constructed directly without one.
+    checkpoint_id: str = ""
 
     def modules(self, dtype=None, flash: bool = True):
         dtype = dtype or self.dtype
@@ -256,6 +261,7 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
         tokenizer=HashTokenizer(vocab_size=clip_cfg.vocab_size),
         scheduler_name="pndm",
         dtype=dtype,
+        checkpoint_id=f"random:{size}:s{seed}:{jnp.dtype(dtype).name}",
     )
 
 
@@ -454,6 +460,25 @@ def _read_json(path: str) -> dict:
         return json.load(fh)
 
 
+def _dir_identity(root: str, dtype) -> str:
+    """Cheap content identity for a checkpoint directory: path plus every
+    file's (relpath, size, mtime_ns). A weight-file rewrite changes it; a
+    re-serve of the same files keeps it stable across restarts."""
+    import hashlib
+
+    h = hashlib.sha256(os.path.abspath(root).encode())
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            p = os.path.join(dirpath, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            h.update(f"{os.path.relpath(p, root)}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return f"dir:{h.hexdigest()[:24]}:{jnp.dtype(dtype).name}"
+
+
 def load_diffusers_checkpoint(root: str, dtype=jnp.bfloat16) -> ModelBundle:
     """Convert a local diffusers-layout torch checkpoint directory."""
     unet_cfg = _unet_config_from_json(_read_json(os.path.join(root, "unet", "config.json")))
@@ -496,6 +521,7 @@ def load_diffusers_checkpoint(root: str, dtype=jnp.bfloat16) -> ModelBundle:
         tokenizer=tokenizer,
         scheduler_name=scheduler_name,
         dtype=dtype,
+        checkpoint_id=_dir_identity(root, dtype),
     )
 
 
@@ -562,6 +588,7 @@ def load_native(root: str, dtype=jnp.bfloat16) -> ModelBundle:
         tokenizer=tokenizer,
         scheduler_name=meta.get("scheduler", "pndm"),
         dtype=dtype,
+        checkpoint_id=_dir_identity(root, dtype),
     )
 
 

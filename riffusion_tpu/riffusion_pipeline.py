@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from riffusion_tpu import aot
+from riffusion_tpu import aot, embed_cache
 from riffusion_tpu.audio.segment import AudioSegment
 from riffusion_tpu.datatypes import InferenceInput
 from riffusion_tpu.diffusion import schedulers as sched
@@ -208,43 +208,74 @@ class RiffusionPipeline:
     def _encode_77(self, ids: np.ndarray) -> Array:
         return self._encode_ids(self.clip_params, jnp.asarray(ids, jnp.int32))
 
+    def _embed_disk_cached(self, kind: str, text: str, compute: T.Callable[[], Array]) -> Array:
+        """Route an embedding through the cross-process disk cache
+        (embed_cache.py): a fresh serving process reads its boot prompts off
+        disk in milliseconds instead of tracing + executing the CLIP encoder
+        (~5.9 s of the round-4 warm start). Keyed on checkpoint identity +
+        environment fingerprint, so a weight or code change is a clean miss."""
+        key = None
+        if self.bundle.checkpoint_id and embed_cache.enabled():
+            key = embed_cache.entry_key(self.bundle.checkpoint_id, self.bundle.dtype, kind, text)
+            hit = embed_cache.get(key)
+            if hit is not None:
+                return jax.device_put(jnp.asarray(hit), self._jax_device)
+        emb = compute()
+        if key is not None:
+            embed_cache.put(key, np.asarray(emb))
+        return emb
+
     @functools.lru_cache(maxsize=256)
     def embed_text(self, text: str) -> Array:
         """Plain CLIP embedding of `text`, (1, 77, hidden)."""
-        ids = np.asarray(
-            self.tokenizer(
-                text,
-                padding="max_length",
-                max_length=self.tokenizer.model_max_length,
-                truncation=True,
-            )["input_ids"],
-            dtype=np.int32,
-        )
-        return self._encode_77(ids)
+
+        def compute() -> Array:
+            ids = np.asarray(
+                self.tokenizer(
+                    text,
+                    padding="max_length",
+                    max_length=self.tokenizer.model_max_length,
+                    truncation=True,
+                )["input_ids"],
+                dtype=np.int32,
+            )
+            return self._encode_77(ids)
+
+        return self._embed_disk_cached("plain", text, compute)
 
     @functools.lru_cache(maxsize=256)
     def embed_text_weighted(self, text: str) -> Array:
         """Attention-weighted embedding (`(word:1.5)` syntax), (1, L, hidden)."""
-        emb, _ = prompt_weighting.get_weighted_text_embeddings(
-            self._encode_77,
-            self.tokenizer,
-            text,
-            uncond_prompt=None,
-            max_embeddings_multiples=3,
-        )
-        return emb
+
+        def compute() -> Array:
+            emb, _ = prompt_weighting.get_weighted_text_embeddings(
+                self._encode_77,
+                self.tokenizer,
+                text,
+                uncond_prompt=None,
+                max_embeddings_multiples=3,
+            )
+            return emb
+
+        return self._embed_disk_cached("weighted", text, compute)
 
     def _uncond_embedding(self, negative_prompt: T.Optional[str], seq_len: int) -> Array:
         """Unconditional/negative embedding matched to the cond seq length."""
         text = negative_prompt or ""
         if seq_len == self.tokenizer.model_max_length:
             return self.embed_text(text)
-        emb, _ = prompt_weighting.get_weighted_text_embeddings(
-            self._encode_77,
-            self.tokenizer,
-            text,
-            max_embeddings_multiples=(seq_len - 2) // (self.tokenizer.model_max_length - 2),
-        )
+        multiples = (seq_len - 2) // (self.tokenizer.model_max_length - 2)
+
+        def compute() -> Array:
+            emb, _ = prompt_weighting.get_weighted_text_embeddings(
+                self._encode_77,
+                self.tokenizer,
+                text,
+                max_embeddings_multiples=multiples,
+            )
+            return emb
+
+        emb = self._embed_disk_cached(f"uncond:{multiples}", text, compute)
         if emb.shape[1] < seq_len:
             pad = jnp.tile(emb[:, -1:, :], (1, seq_len - emb.shape[1], 1))
             emb = jnp.concatenate([emb, pad], axis=1)
@@ -537,6 +568,15 @@ class RiffusionPipeline:
             inputs, init_image, None, True, params or SpectrogramParams()
         )
         report["host_prep_s"] = _time.time() - t0
+        # Weight-readiness is its own line: the synthesized/uploaded param
+        # buffers materialize lazily, so without this the first-execute line
+        # silently absorbs the whole weight term. One fused scalar readback
+        # is the sync (block_until_ready returns early on the axon relay).
+        t0 = _time.time()
+        for tree in (self.unet_params, self.vae_params):
+            leaf = max(jax.tree.leaves(tree), key=lambda x: x.size)
+            np.asarray(leaf.ravel()[:1])  # tiny slice, not the whole buffer
+        report["weights_ready_s"] = _time.time() - t0
         if isinstance(program, aot.AotProgram):
             stage = program.stage_report(args)
             report["source"] = stage["source"]

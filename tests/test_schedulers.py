@@ -395,3 +395,76 @@ def test_per_step_latent_surgery_survives(name):
     assert moved > 0.3 * expect, (
         f"{name}: surgery delta collapsed to {moved} (expected ~{expect})"
     )
+
+
+def test_parse_scheduler_options():
+    assert sched.parse_scheduler("unipc_k") == ("unipc_k", {})
+    assert sched.parse_scheduler("unipc_k:rho=3") == ("unipc_k", {"rho": "3"})
+    assert sched.parse_scheduler("dpmpp_k:anchor=suffix,rho=5") == (
+        "dpmpp_k", {"anchor": "suffix", "rho": "5"}
+    )
+
+
+def test_make_plan_rejects_bad_options():
+    with pytest.raises(ValueError, match="only apply to"):
+        sched.make_plan("dpmpp:rho=3", 20)
+    with pytest.raises(ValueError, match="unknown scheduler options"):
+        sched.make_plan("dpmpp_k:bogus=1", 20)
+    with pytest.raises(ValueError, match="anchor"):
+        sched.make_plan("dpmpp_k:anchor=nope", 20, t_start=4)
+    with pytest.raises(ValueError, match="Unknown scheduler"):
+        sched.make_plan("nosuch:rho=3", 20)
+
+
+def test_karras_rho_option_changes_spacing():
+    """rho option must follow the closed-form spacing; plan name stays the
+    base family so stepper/space dispatch is unchanged."""
+    noise = sched.NoiseConfig()
+    plan = sched.make_plan("dpmpp_k:rho=3", 20)
+    assert plan.name == "dpmpp"
+    acp = noise.alphas_cumprod
+    sigmas_full = ((1 - acp) / acp) ** 0.5
+    ramp = np.linspace(0, 1, 20)
+    expect = (
+        sigmas_full[-1] ** (1 / 3.0)
+        + ramp * (sigmas_full[0] ** (1 / 3.0) - sigmas_full[-1] ** (1 / 3.0))
+    ) ** 3.0
+    np.testing.assert_allclose(plan.coeffs["sigmas"][:-1], expect, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["dpmpp_k", "unipc_k"])
+def test_karras_anchor_variants(name):
+    """img2img slicing: all three anchors start at (or nearest to) the
+    linear grid's noise level at t_start and end at sigma 0."""
+    noise = sched.NoiseConfig()
+    num_steps, t_start = 16, 4
+    _, sig_lin = sched._interp_sigmas(noise, num_steps)
+    sig_start = float(sig_lin[t_start])
+
+    respace = sched.make_plan(name, num_steps, t_start)
+    np.testing.assert_allclose(respace.coeffs["sigmas"][0], sig_start, rtol=1e-6)
+    assert len(respace.timesteps) == num_steps - t_start
+
+    exact = sched.make_plan(f"{name}:anchor=suffix_exact", num_steps, t_start)
+    np.testing.assert_allclose(exact.coeffs["sigmas"][0], sig_start, rtol=1e-6)
+    assert exact.coeffs["sigmas"][-1] == 0.0
+    assert np.all(np.diff(exact.coeffs["sigmas"]) < 0)
+    # tail below the start matches the FULL grid's tail (that's the point)
+    full = sched.make_plan(name, num_steps)
+    np.testing.assert_allclose(
+        exact.coeffs["sigmas"][1:], full.coeffs["sigmas"][-len(exact.coeffs["sigmas"]) + 1:],
+        rtol=1e-6,
+    )
+
+    suffix = sched.make_plan(f"{name}:anchor=suffix", num_steps, t_start)
+    sig0 = float(suffix.coeffs["sigmas"][0])
+    # nearest full-grid sigma to the linear level
+    gaps = np.abs(full.coeffs["sigmas"][:-1] - sig_start)
+    np.testing.assert_allclose(sig0, full.coeffs["sigmas"][int(np.argmin(gaps))], rtol=1e-6)
+    assert suffix.coeffs["sigmas"][-1] == 0.0
+
+    # distinct variants must be distinct plans (program/AOT key separation
+    # happens on the scheduler STRING, which callers pass through verbatim)
+    assert len(suffix.timesteps) != len(respace.timesteps) or not np.allclose(
+        suffix.coeffs["sigmas"], respace.coeffs["sigmas"]
+    )
