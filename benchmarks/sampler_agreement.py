@@ -145,6 +145,14 @@ def main() -> None:
     )
     args = parser.parse_args()
 
+    import os
+
+    # The gate integrates the UNet's drift field: synthesized weights must
+    # have UNIQUE cross-layer geometry (the serving-boot dedupe makes every
+    # same-spec layer identical, which widens the 50-step band ~3x and
+    # destroys the gate's discriminating power — measured 2026-08-19).
+    os.environ.setdefault("RIFFUSION_TPU_SYNTH_DEDUPE", "0")
+
     import jax
 
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline

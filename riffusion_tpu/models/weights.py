@@ -190,6 +190,14 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
            pipeline's whole-tree cast program (another full-size output).
         """
 
+        # RIFFUSION_TPU_SYNTH_DEDUPE=0 gives every leaf its own pool offset:
+        # quality/diagnostic harnesses (sampler_agreement.py's ODE gate,
+        # wiring oracles) need unique cross-layer geometry — dedup makes
+        # every same-spec layer identical, which distorts the drift field
+        # the gate integrates and masks Q-vs-K asymmetries. Serving/bench
+        # boots keep the dedupe (it is purely a relay-transfer optimization).
+        dedupe = os.environ.get("RIFFUSION_TPU_SYNTH_DEDUPE", "1") != "0"
+
         def leaf_key(path, s_):
             name = path[-1].key if path else ""
             dt = s_.dtype
@@ -201,7 +209,8 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
                 return ("ones", tuple(s_.shape), jnp.dtype(dt).name, 0.0)
             fan_in = int(np.prod(s_.shape[:-1])) if len(s_.shape) > 1 else s_.shape[0]
             std = float(1.0 / np.sqrt(max(fan_in, 1)))
-            return ("pool", tuple(s_.shape), jnp.dtype(dt).name, std)
+            ident = "" if dedupe else jax.tree_util.keystr(path)
+            return ("pool", tuple(s_.shape), jnp.dtype(dt).name, std, ident)
 
         keys_tree = jax.tree_util.tree_map_with_path(
             leaf_key, shapes, is_leaf=lambda x: hasattr(x, "shape")
@@ -222,7 +231,7 @@ def random_bundle(size: str = "tiny", seed: int = 0, dtype=jnp.bfloat16) -> Mode
             tiled = {1: pool}
             out = {}
             for spec, start in uniq.items():
-                kind, shape, dtname, std = spec
+                kind, shape, dtname, std = spec[:4]
                 dt = jnp.dtype(dtname)
                 if kind == "zeros":
                     out[spec] = jnp.zeros(shape, dt)

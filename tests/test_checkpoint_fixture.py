@@ -253,3 +253,33 @@ def test_convert_checkpoint_script(tiny_diffusers_checkpoint, tmp_path):
     bundle = load_bundle(str(out), dtype=jnp.float32)
     assert bundle.scheduler_name == "euler"
     assert type(bundle.tokenizer).__name__ == "CLIPTokenizer"
+
+
+def test_synth_dedupe_flag(monkeypatch):
+    """RIFFUSION_TPU_SYNTH_DEDUPE=0 must give same-spec leaves distinct
+    values (unique cross-layer geometry for the quality gates); the default
+    dedupes them into one buffer (relay-transfer optimization)."""
+    import jax
+    import numpy as np
+
+    from riffusion_tpu.models.weights import random_bundle
+
+    def same_spec_pairs(params):
+        leaves = [x for x in jax.tree.leaves(params) if x.ndim > 1]
+        by_shape = {}
+        for x in leaves:
+            by_shape.setdefault((x.shape, str(x.dtype)), []).append(x)
+        return [v for v in by_shape.values() if len(v) >= 2]
+
+    deduped = random_bundle("tiny", seed=0).unet_params
+    pairs = same_spec_pairs(deduped)
+    assert pairs, "tiny bundle should have repeated-spec leaves"
+    assert all(v[0] is v[1] for v in pairs)
+
+    monkeypatch.setenv("RIFFUSION_TPU_SYNTH_DEDUPE", "0")
+    unique = random_bundle("tiny", seed=1).unet_params
+    found_distinct = False
+    for v in same_spec_pairs(unique):
+        if not np.array_equal(np.asarray(v[0]), np.asarray(v[1])):
+            found_distinct = True
+    assert found_distinct
