@@ -192,6 +192,13 @@ class RiffusionPipeline:
         """
         del use_traced_unet, channels_last, local_files_only, cache_dir
         resolved_device = jax_util.check_device(device)
+        prefetch_prefix = os.environ.get("RIFFUSION_TPU_AOT_PREFETCH")
+        if prefetch_prefix and resolved_device != "cpu":
+            # Kick the stored-executable prefetch BEFORE weight synthesis:
+            # the exe deserialize + device load then overlaps the whole
+            # bundle build instead of only the post-__init__ window
+            # (prefetch is idempotent; __init__'s kick becomes a no-op).
+            aot.prefetch("" if prefetch_prefix == "1" else prefetch_prefix)
         if resolved_device == "cpu":
             dtype = jnp.float32
         elif dtype is None:

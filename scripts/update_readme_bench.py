@@ -51,6 +51,10 @@ def parse(log: str) -> dict:
     m = re.search(r"SERVING PRESET \(([\w-]+)\) sustained: ([\d.]+) clips/s \(([\d.]+)x realtime", log)
     if m:
         vals["preset_name"], vals["preset_cps"], vals["preset_rt"] = m.groups()
+    runs = re.findall(r"^run \d+: ([\d.]+) s$", log, re.M)
+    if runs:
+        fl = sorted(float(r) for r in runs)
+        vals["spread"] = f"{fl[0]:.3f}..{fl[-1]:.3f}"
     m = re.search(r"fresh-process warm start: ([\d.]+) s", log)
     if m:
         vals["warmstart_s"] = m.group(1)
@@ -92,6 +96,13 @@ def rows(v: dict) -> str:
             f"| Fresh-process warm start (server restart, AOT executable store) "
             f"| {v['warmstart_s']} s{detail} | traced-UNet artifact download |"
         )
+    if "spread" in v:
+        out.append(
+            f"\n*50-step latency is best-of-N within one session; same-session "
+            f"spread {v['spread']} s. Cross-session numbers on the tunneled TPU "
+            f"carry ±20% relay jitter (docs/performance.md), which exceeds any "
+            f"round-over-round delta near 1.0 s.*"
+        )
     if "source" in v:
         out.append(f"\nNumbers measured by `bench.py` — source: `{v['source']}`.")
     return "\n".join(out)
@@ -121,6 +132,8 @@ def main() -> None:
             vals["sustained_cps"] = f"{float(extra['BATCH16_SUSTAINED']):.2f}"
             vals.setdefault("batch_n", "16")
             vals.setdefault("batch_cps", vals["sustained_cps"])
+        if "LATENCY_SPREAD" in extra:
+            vals["spread"] = extra["LATENCY_SPREAD"]
         if "WARMSTART_SECONDS" in extra:
             vals["warmstart_s"] = extra["WARMSTART_SECONDS"]
             vals.setdefault("warmstart_breakdown", extra.get("WARMSTART_BREAKDOWN", ""))
