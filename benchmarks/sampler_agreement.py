@@ -138,6 +138,13 @@ def main() -> None:
         help="img2img = the FORMAL serving-shape gate (riffuse, strength 0.75)",
     )
     parser.add_argument(
+        "--gold-cache", default=None, metavar="DIR",
+        help="cache the decoded gold images as .npy under DIR (keyed by "
+        "mode/gold config/seed) so iterative sweeps in separate processes "
+        "skip the 200-step gold runs; ONLY valid while weights/prompts/seed "
+        "image are unchanged — clear the dir after any model-geometry change",
+    )
+    parser.add_argument(
         "--configs", nargs="+", default=None, metavar="SCHED@STEPS",
         help="override the config grid, e.g. 'unipc_k:anchor=suffix_exact@16' "
         "'dpmpp@20' (scheduler strings may carry :k=v grid options; the "
@@ -210,7 +217,21 @@ def main() -> None:
 
     golds = {}
     for seed in args.seeds:
+        cache_path = None
+        if args.gold_cache:
+            cdir = Path(args.gold_cache)
+            cdir.mkdir(parents=True, exist_ok=True)
+            cache_path = cdir / (
+                f"{args.mode}-{args.gold_scheduler}-{args.gold_steps}"
+                f"-{args.size}-s{seed}.npy"
+            )
+            if cache_path.exists():
+                golds[seed] = np.load(cache_path)
+                print(f"gold seed {seed} from cache {cache_path}", file=sys.stderr)
+                continue
         golds[seed] = image_f32(args.gold_scheduler, args.gold_steps, seed)
+        if cache_path is not None:
+            np.save(cache_path, golds[seed])
         print(f"gold {args.gold_scheduler}-{args.gold_steps} seed {seed} done",
               file=sys.stderr)
 
