@@ -284,3 +284,33 @@ def test_fast_preset_overrides_steps_and_scheduler():
         assert pipe.steps_seen == [[FAST_PRESET["steps"]]]
     finally:
         batcher.shutdown()
+
+
+def test_fast_preset_is_gate_qualified():
+    """Structural preset<->gate consistency: serving.FAST_PRESET must appear
+    in the NEWEST committed img2img gate artifact
+    (benchmarks/img2img_gate_*.json, written by sampler_agreement.py --mode
+    img2img) with inside_50_step_band=true. A preset change that ships
+    without a fresh measured gate row fails here — the published quality
+    claim can never silently diverge from what the server runs."""
+    import json
+    from pathlib import Path
+
+    from riffusion_tpu.serving import FAST_PRESET
+
+    gates = sorted(Path(__file__).parent.parent.glob("benchmarks/img2img_gate_*.json"))
+    assert gates, "no committed img2img gate artifact"
+    rows = json.loads(gates[-1].read_text())
+    match = [
+        r for r in rows
+        if r["scheduler"] == FAST_PRESET["scheduler"]
+        and r["steps"] == FAST_PRESET["steps"]
+    ]
+    assert match, (
+        f"FAST_PRESET {FAST_PRESET} has no row in {gates[-1].name}; re-run "
+        "benchmarks/sampler_agreement.py --mode img2img and commit the JSON"
+    )
+    assert match[0]["inside_50_step_band"], (
+        f"FAST_PRESET {FAST_PRESET} is OUTSIDE the 50-step band in "
+        f"{gates[-1].name}: {match[0]}"
+    )
