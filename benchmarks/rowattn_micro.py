@@ -30,6 +30,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--block-q", type=int, default=512)
+    parser.add_argument("--exp-bf16", action="store_true")
     parser.add_argument("--b", type=int, default=32)
     parser.add_argument("--s", type=int, default=4096)
     parser.add_argument("--heads", type=int, default=8)
@@ -54,7 +55,8 @@ def main() -> None:
 
     pal = jax.jit(
         lambda q, k, v: full_row_attention(
-            q, k, v, num_heads=h, scale=scale, block_q=args.block_q
+            q, k, v, num_heads=h, scale=scale, block_q=args.block_q,
+            exp_bf16=args.exp_bf16,
         )
     )
     ref = jax.jit(lambda q, k, v: _reference(q, k, v, h, scale))

@@ -138,6 +138,11 @@ def main() -> None:
         help="img2img = the FORMAL serving-shape gate (riffuse, strength 0.75)",
     )
     parser.add_argument(
+        "--strength", type=float, default=0.75,
+        help="img2img denoising strength (0.75 = the serving shape; vary it "
+        "to probe a preset's robustness off the gated strength)",
+    )
+    parser.add_argument(
         "--gold-cache", default=None, metavar="DIR",
         help="cache the decoded gold images as .npy under DIR (keyed by "
         "mode/gold config/seed) so iterative sweeps in separate processes "
@@ -186,11 +191,13 @@ def main() -> None:
 
         def image_f32(scheduler: str, steps: int, seed: int) -> np.ndarray:
             inputs = InferenceInput(
-                start=PromptInput(prompt=prompt, seed=seed),
-                end=PromptInput(prompt="jazzy saxophone", seed=seed + 81),
+                start=PromptInput(prompt=prompt, seed=seed, denoising=args.strength),
+                end=PromptInput(
+                    prompt="jazzy saxophone", seed=seed + 81, denoising=args.strength
+                ),
                 alpha=0.5,
                 num_inference_steps=steps,
-            )  # denoising defaults to 0.75 — the serving request shape
+            )  # denoising 0.75 is the serving request shape default
             img = pipe.riffuse(inputs, init_image, scheduler=scheduler)
             return np.asarray(img, np.float64) / 255.0
 
@@ -223,7 +230,7 @@ def main() -> None:
             cdir.mkdir(parents=True, exist_ok=True)
             cache_path = cdir / (
                 f"{args.mode}-{args.gold_scheduler}-{args.gold_steps}"
-                f"-{args.size}-s{seed}.npy"
+                f"-{args.size}-d{args.strength}-s{seed}.npy"
             )
             if cache_path.exists():
                 golds[seed] = np.load(cache_path)

@@ -126,6 +126,11 @@ EINSUM_VARIANT = _os.environ.get("RIFFUSION_TPU_EINSUM_VARIANT", "pref")
 # "0" falls back to the einsum variants below at those sites.
 ROWATTN = _os.environ.get("RIFFUSION_TPU_ROWATTN", "1") != "0"
 ROWATTN_BLOCK_Q = int(_os.environ.get("RIFFUSION_TPU_ROWATTN_BLOCK_Q", "512"))
+# A/B arm: bf16 softmax numerator inside the row kernel (~0.4% per-weight
+# error, fp32 row sums). Measured exactly neutral at the serving shape
+# (benchmarks/rowattn_micro.json 2026-08-19: 14.31-14.37 ms both arms — the
+# kernel is MXU-bound, not VPU-bound), so it stays default-off.
+ROWATTN_EXP_BF16 = _os.environ.get("RIFFUSION_TPU_ROWATTN_EXP_BF16", "0") != "0"
 
 # Flash-gate tunables (read at trace time; module-level so benchmarks can A/B
 # them without code edits). Defaults are the measured-best configuration for
@@ -197,6 +202,7 @@ class Attention(nn.Module):
             out = full_row_attention(
                 q, k, v,
                 num_heads=self.num_heads, scale=scale, block_q=ROWATTN_BLOCK_Q,
+                exp_bf16=ROWATTN_EXP_BF16,
             )
             return nn.Dense(self.out_dim, dtype=self.dtype, name="to_out")(out)
 

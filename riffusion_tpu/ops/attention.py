@@ -55,11 +55,16 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["full_row_attention"]
 
 
-def _make_kernel(num_heads: int, head_dim: int):
+def _make_kernel(num_heads: int, head_dim: int, exp_bf16: bool):
     def kernel(q_ref, k_ref, v_ref, o_ref):
         """One (batch row, q-block) program; loops the heads.
 
-        q_ref: (1, block_q, h*d) — pre-scaled by 1/sqrt(d)
+        q_ref: (1, block_q, h*d) — pre-scaled by log2(e)/sqrt(d), so the
+            logits land in the log2 domain and the softmax numerator is a
+            bare exp2 (the VPU's native exponential; exp(x) lowers to
+            exp2(x * log2e) anyway — folding the multiply into the (b,s,hd)
+            projection output instead of the (block_q, s) logits does it on
+            s/d x fewer elements)
         k_ref: (1, s, h*d)
         v_ref: (1, s, h*d)
         o_ref: (1, block_q, h*d)
@@ -77,8 +82,16 @@ def _make_kernel(num_heads: int, head_dim: int):
                 preferred_element_type=jnp.float32,
             )
             m = jnp.max(logits, axis=1, keepdims=True)
-            e = jnp.exp(logits - m)
-            l = jnp.sum(e, axis=1, keepdims=True)
+            x = logits - m
+            if exp_bf16:
+                # A/B arm (RIFFUSION_TPU_ROWATTN_EXP_BF16): halve the
+                # softmax's VPU element width. The max-subtracted domain is
+                # [-inf, 0] where bf16's ~2^-8 relative grid costs ~0.4%
+                # per-weight error; the row sum accumulates fp32.
+                e = jnp.exp2(x.astype(jnp.bfloat16))
+            else:
+                e = jnp.exp2(x)
+            l = jnp.sum(e, axis=1, keepdims=True, dtype=jnp.float32)
             # Unnormalized weights through the MXU in the compute dtype;
             # normalize on the (block_q, d) result.
             pv = jax.lax.dot_general(
@@ -90,18 +103,22 @@ def _make_kernel(num_heads: int, head_dim: int):
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _full_row_attention(q, k, v, num_heads, scale, block_q, interpret):
-    return _forward(q, k, v, num_heads, scale, block_q, interpret)
+_LOG2E = 1.4426950408889634
 
 
-def _forward(q, k, v, num_heads, scale, block_q, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _full_row_attention(q, k, v, num_heads, scale, block_q, exp_bf16, interpret):
+    return _forward(q, k, v, num_heads, scale, block_q, exp_bf16, interpret)
+
+
+def _forward(q, k, v, num_heads, scale, block_q, exp_bf16, interpret):
     b, s_q, inner = q.shape
     s_kv = k.shape[1]
     head_dim = inner // num_heads
-    # Scale folded into q outside the kernel: XLA fuses it into the producing
-    # projection, and the kernel sees pre-scaled logits operands.
-    q = q * jnp.asarray(scale, q.dtype)
+    # Scale (and the exp->exp2 log2e fold) applied to q outside the kernel:
+    # XLA fuses it into the producing projection, and the kernel sees
+    # pre-scaled logits operands.
+    q = q * jnp.asarray(scale * _LOG2E, q.dtype)
 
     grid = (b, s_q // block_q)
     qo_spec = pl.BlockSpec((1, block_q, inner), lambda ib, iq: (ib, iq, 0))
@@ -110,7 +127,7 @@ def _forward(q, k, v, num_heads, scale, block_q, interpret):
     kv_spec = pl.BlockSpec((1, s_kv, inner), lambda ib, iq: (ib, 0, 0))
     flops = 2 * 2 * b * s_q * s_kv * inner
     return pl.pallas_call(
-        _make_kernel(num_heads, head_dim),
+        _make_kernel(num_heads, head_dim, exp_bf16),
         grid=grid,
         in_specs=[qo_spec, kv_spec, kv_spec],
         out_specs=qo_spec,
@@ -150,11 +167,11 @@ def _reference(q, k, v, num_heads, scale):
     return out.reshape(b, s_q, inner)
 
 
-def _fwd(q, k, v, num_heads, scale, block_q, interpret):
-    return _forward(q, k, v, num_heads, scale, block_q, interpret), (q, k, v)
+def _fwd(q, k, v, num_heads, scale, block_q, exp_bf16, interpret):
+    return _forward(q, k, v, num_heads, scale, block_q, exp_bf16, interpret), (q, k, v)
 
 
-def _bwd(num_heads, scale, block_q, interpret, residuals, g):
+def _bwd(num_heads, scale, block_q, exp_bf16, interpret, residuals, g):
     # Backward = VJP of the einsum composition, rematerialized: the sites are
     # O(s^2) compute-bound, and training batches hit this path rarely enough
     # that the standard XLA gradient is the right cost/complexity trade.
@@ -176,6 +193,7 @@ def full_row_attention(
     num_heads: int,
     scale: float,
     block_q: int = 512,
+    exp_bf16: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """softmax(q k^T * scale) v over (b, s, h*d) operands, heads packed in
@@ -194,5 +212,6 @@ def full_row_attention(
     if k.shape != v.shape or k.shape[0] != b or k.shape[2] != inner:
         raise ValueError(f"shape mismatch: q={q.shape} k={k.shape} v={v.shape}")
     return _full_row_attention(
-        q, k, v, int(num_heads), float(scale), int(block_q), bool(interpret)
+        q, k, v, int(num_heads), float(scale), int(block_q), bool(exp_bf16),
+        bool(interpret),
     )

@@ -308,11 +308,12 @@ def run_app(
     With dynamic_batching=True, concurrent /run_inference/ requests are
     coalesced into one batched device program (serving.DynamicBatcher) —
     aggregate throughput instead of the reference's one-at-a-time model.
-    serving_preset (batching only): "fast" runs every request at the
-    few-step FAST preset (serving.FAST_PRESET, dpmpp-20: inside the
-    50-step band on the img2img serving-shape gate, see
-    benchmarks/sampler_agreement.py --mode img2img); "parity" honors each
-    request's scheduler/steps verbatim."""
+    serving_preset (batching only): "fast" runs requests at the gated
+    few-step FAST preset (serving.FAST_PRESET — inside the 50-step band on
+    the img2img serving-shape gate, benchmarks/sampler_agreement.py --mode
+    img2img), strength-gated so requests off the gate's denoising strength
+    fall back to the robust serving.FAST_PRESET_OFFGATE; "parity" honors
+    each request's scheduler/steps verbatim."""
     logging.basicConfig(level=logging.INFO)
     logging.getLogger().addHandler(logging.FileHandler("server.log"))
 
@@ -389,7 +390,12 @@ def run_app(
         from riffusion_tpu.serving import FAST_PRESET, DynamicBatcher
 
         preset_kwargs = (
-            dict(scheduler=FAST_PRESET["scheduler"], steps_override=FAST_PRESET["steps"])
+            # strength_gated: requests off the gated strength (0.75, the
+            # request default) run FAST_PRESET_OFFGATE instead — those hit
+            # first-compile (the warmup below only compiles the gated-path
+            # programs; the XLA disk cache + AOT store amortize the rest)
+            dict(scheduler=FAST_PRESET["scheduler"],
+                 steps_override=FAST_PRESET["steps"], strength_gated=True)
             if serving_preset == "fast"
             else {}
         )

@@ -44,23 +44,52 @@ if T.TYPE_CHECKING:  # pragma: no cover
     from riffusion_tpu.riffusion_pipeline import RiffusionPipeline
 
 
-#: Serving FAST preset: DPM-Solver++(2M) on the LINEAR timestep grid at 20
-#: steps — 2.5x fewer UNet evaluations than 50-step PNDM. Gated on the
-#: SERVING shape, not txt2img (round-3 verdict: the old unipc_k-16 preset
-#: passed the txt2img gate but landed ~2x outside the 50-step band on the
-#: img2img requests serving actually runs). The formal gate is
-#: `benchmarks/sampler_agreement.py --mode img2img` (riffuse at strength
-#: 0.75, rel-L2 of the decoded image vs a dpmpp-200 gold, seeds 42/43/44,
-#: measured 2026-08-19 on v5e): the reference's own 50-step schedulers span
-#: [0.00855 (euler), 0.01022 (ddim)], and dpmpp-20 lands at 0.01001 —
-#: INSIDE that band — while unipc_k-16 (0.01242), unipc_k-20 (0.01199) and
-#: every Karras-grid config sit outside it (the served trajectory is
-#: linear-grid, so cross-grid drift costs more than solver order buys).
-#: dpmpp-24 (0.00855) even beats the pndm-50 parity bar for callers that
-#: want margin. Throughput-per-QUALITY, not per-step (the reference's bar
-#: is quality in <5 s, README.md:80-81). The PARITY preset honors each
-#: request verbatim.
-FAST_PRESET = {"scheduler": "dpmpp", "steps": 20}
+#: Serving FAST preset: UniPC order 2 on a rho=2 Karras sigma grid at 16
+#: steps — 3.1x fewer UNet evaluations than 50-step PNDM (12 evals at the
+#: serving strength 0.75 vs 38). Gated on the SERVING shape (riffuse img2img
+#: at strength 0.75), not txt2img: the formal gate is
+#: `benchmarks/sampler_agreement.py --mode img2img` — rel-L2 of the decoded
+#: image vs a dpmpp-200 gold, seeds 42/43/44, unique-weight geometry
+#: (RIFFUSION_TPU_SYNTH_DEDUPE=0), measured 2026-08-19 on v5e
+#: (benchmarks/img2img_gate_2026-08-19b.json). The reference's own 50-step
+#: schedulers span [0.0116 (euler), 0.0177 (ddim)]; unipc_k:rho=2-16 lands
+#: at 0.0162 — INSIDE that band — while the previous preset dpmpp-20 sits
+#: just outside it (0.0182) on this geometry. rho=2 (vs Karras' rho=7)
+#: spends the grid's resolution near sigma_max, which is exactly where the
+#: mid-grid img2img start needs it; stock unipc_k-16 (0.0239) and the
+#: suffix-anchor variants (0.0208-0.0210) both fail the same gate.
+#:
+#: The preset is STRENGTH-GATED: the gate above pins denoising 0.75 (the
+#: request default and the shape serving actually runs). Off that strength
+#: the 16-step grid thins out (at 0.65 it gets ~10 evals and measured
+#: 0.0388 vs the [0.0134, 0.0197] band there —
+#: benchmarks/img2img_offgate_strength065_2026-08-19.json), so
+#: `preset_for_strength` falls back to FAST_PRESET_OFFGATE (dpmpp-24:
+#: 0.0130 at strength 0.75, comfortably inside-band, and the dpmpp linear
+#: family is the robust one across strengths — dpmpp-20 measured
+#: inside-band at 0.65 too). Throughput-per-QUALITY, not per-step (the
+#: reference's bar is quality in <5 s, README.md:80-81). The PARITY preset
+#: honors each request verbatim.
+FAST_PRESET = {"scheduler": "unipc_k:rho=2", "steps": 16}
+
+#: The strength the FAST preset's quality gate pins (InferenceInput's
+#: denoising default — the serving request shape).
+FAST_PRESET_GATED_STRENGTH = 0.75
+
+#: Robust fallback for requests OFF the gated strength: see FAST_PRESET's
+#: docstring. Still 1.6x fewer evals than 50-step PNDM.
+FAST_PRESET_OFFGATE = {"scheduler": "dpmpp", "steps": 24}
+
+
+def preset_for_strength(strength: float) -> dict:
+    """FAST-preset config for one request's effective denoising strength.
+
+    The few-step Karras preset is quality-gated at the serving strength
+    (0.75, to the batcher's own 3-decimal strength-bucket resolution);
+    any other strength gets the robust linear-grid fallback."""
+    if round(strength, 3) == FAST_PRESET_GATED_STRENGTH:
+        return FAST_PRESET
+    return FAST_PRESET_OFFGATE
 
 
 @dataclasses.dataclass
@@ -70,6 +99,9 @@ class _Pending:
     init_image: PIL.Image.Image
     mask_image: T.Optional[PIL.Image.Image]
     params: T.Any
+    #: scheduler resolved at submit time (preset or batcher-wide override);
+    #: None = the pipeline's per-request default
+    scheduler: T.Optional[str] = None
     done: threading.Event = dataclasses.field(default_factory=threading.Event)
     result: T.Any = None
     error: T.Optional[BaseException] = None
@@ -91,18 +123,25 @@ class DynamicBatcher:
         buckets: T.Sequence[int] = (1, 2, 4, 8, 16),
         scheduler: T.Optional[str] = None,
         steps_override: T.Optional[int] = None,
+        strength_gated: bool = False,
     ):
         """`scheduler`/`steps_override` implement the serving FAST preset
         (see FAST_PRESET above): a few-step sampler at 50-step quality, so
-        serving deployments can run every request at e.g. dpmpp-20 for
-        ~2.5x the throughput. None = honor each request's own scheduler/steps
-        (parity with the reference's per-request semantics)."""
+        serving deployments can run every request at the preset config for
+        ~3x the throughput. None = honor each request's own scheduler/steps
+        (parity with the reference's per-request semantics).
+
+        `strength_gated=True` makes the preset per-request: requests at the
+        quality-gated strength (`preset_for_strength`) run FAST_PRESET,
+        anything else the robust FAST_PRESET_OFFGATE — the few-step Karras
+        grid is only qualified on the shape its gate measured."""
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self.buckets = sorted(buckets)
         self.scheduler = scheduler
         self.steps_override = steps_override
+        self.strength_gated = strength_gated
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         # counters for tests/metrics: program launches vs requests served
@@ -136,20 +175,28 @@ class DynamicBatcher:
         mask_image_id: T.Optional[str],
     ):
         """Enqueue one request and block until its (image, segment) is ready."""
-        if self.steps_override is not None:
+        scheduler = self.scheduler
+        if self.strength_gated and self.steps_override is not None:
+            preset = preset_for_strength(_strength(inputs))
+            scheduler = preset["scheduler"]
+            inputs = dataclasses.replace(inputs, num_inference_steps=preset["steps"])
+        elif self.steps_override is not None:
             inputs = dataclasses.replace(inputs, num_inference_steps=self.steps_override)
         # Requests batch when their static program signature matches; masked
         # requests batch with the SAME mask id (the batch program applies one
-        # shared mask per launch).
+        # shared mask per launch). The resolved scheduler is part of the
+        # signature: strength-gated presets can differ across strengths.
         batchable = True
         key = (
             seed_image_id,
             mask_image_id,
             inputs.num_inference_steps,
             round(_strength(inputs), 3),
+            scheduler,
             batchable,
         )
-        item = _Pending(inputs, key, init_image, mask_image, params)
+        item = _Pending(inputs, key, init_image, mask_image, params,
+                        scheduler=scheduler)
         self._q.put(item)
         item.done.wait()
         if item.error is not None:
@@ -216,6 +263,8 @@ class DynamicBatcher:
 
     def _execute(self, key: T.Tuple, items: T.List[_Pending]) -> None:
         batchable = key[-1]
+        # all items in a group share one resolved scheduler (it's in the key)
+        scheduler = items[0].scheduler
         try:
             if not batchable or len(items) == 1:
                 for item in items:
@@ -225,7 +274,7 @@ class DynamicBatcher:
                         mask_image=item.mask_image,
                         params=item.params,
                         apply_filters=True,
-                        scheduler=self.scheduler,
+                        scheduler=scheduler,
                     )
                     item.result = (image, segment)
                     self._bump(requests=1, launches=1)
@@ -244,7 +293,7 @@ class DynamicBatcher:
                 apply_filters=True,
                 async_dispatch=True,
                 mask_image=items[0].mask_image,
-                scheduler=self.scheduler,
+                scheduler=scheduler,
             )
             self._bump(requests=n, batched_requests=n, launches=1,
                        padded_slots=size - n)

@@ -31,11 +31,11 @@ IMAGE_EXTENSIONS = ["png", "jpg", "jpeg"]
 
 # Same option strings as the reference UI; mapped to the JAX schedulers.
 # UniPC and the "(Karras)" grid variants are TPU-framework extensions: the
-# Karras rho=7 sigma grid (schedulers._karras_sigmas) and the UniPC-style
+# Karras sigma grid (schedulers._karras_sigmas) and the UniPC-style
 # predictor-corrector reach 50-step txt2img quality in ~16 steps — measured
-# by benchmarks/sampler_agreement.py; the serving FAST preset is dpmpp-20
-# (linear grid), gated on the img2img serving shape (same benchmark,
-# --mode img2img).
+# by benchmarks/sampler_agreement.py; the serving FAST preset is
+# unipc_k:rho=2 at 16 steps, gated on the img2img serving shape (same
+# benchmark, --mode img2img; see serving.FAST_PRESET).
 SCHEDULER_OPTIONS = [
     "DPMSolverMultistepScheduler",
     "DPMSolverMultistepScheduler (Karras)",

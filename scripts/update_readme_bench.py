@@ -48,7 +48,7 @@ def parse(log: str) -> dict:
         following = [s for s in sustained_matches if s.start() > best.end()]
         if following:
             vals["sustained_cps"] = following[0].group(1)
-    m = re.search(r"SERVING PRESET \(([\w-]+)\) sustained: ([\d.]+) clips/s \(([\d.]+)x realtime", log)
+    m = re.search(r"SERVING PRESET \(([\w:=,.-]+)\) sustained: ([\d.]+) clips/s \(([\d.]+)x realtime", log)
     if m:
         vals["preset_name"], vals["preset_cps"], vals["preset_rt"] = m.groups()
     runs = re.findall(r"^run \d+: ([\d.]+) s$", log, re.M)
@@ -110,7 +110,12 @@ def rows(v: dict) -> str:
 
 def main() -> None:
     raw = Path(sys.argv[1]).read_text()
-    source = Path(sys.argv[1]).name
+    try:
+        # keep the cited source repo-relative (e.g. "benchmarks/bench_*.json")
+        # so tests/test_readme_bench.py can resolve and cross-check it
+        source = str(Path(sys.argv[1]).resolve().relative_to(README.parent))
+    except ValueError:
+        source = Path(sys.argv[1]).name
     if sys.argv[1].endswith(".json"):
         rec = json.loads(raw)
         log = rec.get("tail", "") or ""

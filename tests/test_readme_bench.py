@@ -44,7 +44,8 @@ def test_readme_preset_label_matches_shipped_preset():
     from riffusion_tpu.serving import FAST_PRESET
 
     shipped = f"{FAST_PRESET['scheduler']}-{FAST_PRESET['steps']}"
-    m = re.search(r"\| Serving preset \(([\w-]+),", _bench_block())
+    # preset labels can carry grid options ("unipc_k:rho=2-16")
+    m = re.search(r"\| Serving preset \(([^,]+),", _bench_block())
     assert m, "README bench table lost its serving-preset row"
     assert m.group(1) == shipped, (
         f"README advertises preset {m.group(1)!r} but the server ships {shipped!r} "

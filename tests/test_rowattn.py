@@ -99,3 +99,20 @@ def test_gate_requires_tpu_and_window():
     out = attn.apply(params, x)  # would crash if pallas_call were emitted
     assert out.shape == (10, 2048, 80)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_exp_bf16_parity_within_tolerance():
+    """The bf16-numerator A/B arm must stay within ~1% of the fp32 softmax."""
+    rng = np.random.default_rng(3)
+    b, s, h, d = 1, 256, 2, 40
+    q = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.float32)
+    scale = 1 / np.sqrt(d)
+    out = full_row_attention(
+        q, k, v, num_heads=h, scale=scale, block_q=128, exp_bf16=True,
+        interpret=True,
+    )
+    ref = _reference(q, k, v, h, scale)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 2e-2, err

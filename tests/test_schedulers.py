@@ -239,17 +239,19 @@ def test_karras_sigma_grid_properties():
 
 @pytest.mark.parametrize(
     ("name", "steps"),
-    [("dpmpp", 28), ("dpmpp", 20), ("dpmpp_k", 20), ("unipc_k", 16)],
+    [("dpmpp", 28), ("dpmpp", 20), ("dpmpp_k", 20), ("unipc_k", 16),
+     ("unipc_k:rho=2", 16), ("dpmpp", 24)],
 )
 def test_low_step_configs_beat_pndm_50(name, steps):
     """Few-step convergence gates: each config must recover the clean signal
     at least as accurately as 50-step PNDM under the exact-eps oracle — the
     parity default's quality bar at up to 3.1x fewer UNet evals.
-    dpmpp-20 is the serving FAST preset (serving.FAST_PRESET); its measured
+    unipc_k:rho=2-16 is the serving FAST preset and dpmpp-24 its off-gate
+    fallback (serving.FAST_PRESET / FAST_PRESET_OFFGATE); their measured
     full-model counterpart is the img2img serving-shape gate in
-    benchmarks/sampler_agreement.py, where it lands inside the reference's
-    own 50-step scheduler band (and the Karras configs, txt2img winners,
-    fall outside)."""
+    benchmarks/sampler_agreement.py (committed img2img_gate_*.json), where
+    the preset must land inside the reference's own 50-step scheduler
+    band."""
     key = jax.random.PRNGKey(5)
     x0 = jax.random.normal(jax.random.fold_in(key, 1), SHAPE) * 0.5
 

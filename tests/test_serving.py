@@ -286,6 +286,63 @@ def test_fast_preset_overrides_steps_and_scheduler():
         batcher.shutdown()
 
 
+def test_strength_gated_preset_selects_per_request():
+    """strength_gated=True: requests at the gated strength (0.75, the
+    request default) run FAST_PRESET; off-gate strengths run the robust
+    FAST_PRESET_OFFGATE — and the two never share a batch group."""
+    import dataclasses
+
+    from riffusion_tpu.serving import FAST_PRESET, FAST_PRESET_OFFGATE
+
+    pipe = FakePipeline()
+    batcher = DynamicBatcher(
+        pipe, max_batch=8, window_ms=300,
+        scheduler=FAST_PRESET["scheduler"], steps_override=FAST_PRESET["steps"],
+        strength_gated=True,
+    )
+    try:
+        on_gate = [_inp(seed=i, steps=50) for i in range(2)]  # denoising 0.75
+        off_gate = []
+        for seed in (9, 10):
+            off = _inp(seed=seed, steps=50)
+            off_gate.append(dataclasses.replace(
+                off,
+                start=dataclasses.replace(off.start, denoising=0.6),
+                end=dataclasses.replace(off.end, denoising=0.6),
+            ))
+        results, errors = _submit_many(batcher, on_gate + off_gate)
+        assert all(e is None for e in errors)
+        # two separate device groups, one per strength bucket
+        assert sorted(pipe.calls) == [2, 2]
+        flat_steps = sorted(s for grp in pipe.steps_seen for s in grp)
+        assert flat_steps == sorted(
+            [FAST_PRESET["steps"], FAST_PRESET_OFFGATE["steps"]]
+        )
+        assert sorted(pipe.schedulers) == sorted(
+            [FAST_PRESET["scheduler"], FAST_PRESET_OFFGATE["scheduler"]]
+        )
+    finally:
+        batcher.shutdown()
+
+
+def test_offgate_preset_is_gate_qualified():
+    """The off-gate fallback must itself be inside-band in the newest
+    committed gate (it serves every request off the gated strength)."""
+    import json
+    from pathlib import Path
+
+    from riffusion_tpu.serving import FAST_PRESET_OFFGATE
+
+    gates = sorted(Path(__file__).parent.parent.glob("benchmarks/img2img_gate_*.json"))
+    rows = json.loads(gates[-1].read_text())
+    match = [
+        r for r in rows
+        if r["scheduler"] == FAST_PRESET_OFFGATE["scheduler"]
+        and r["steps"] == FAST_PRESET_OFFGATE["steps"]
+    ]
+    assert match and match[0]["inside_50_step_band"], match
+
+
 def test_fast_preset_is_gate_qualified():
     """Structural preset<->gate consistency: serving.FAST_PRESET must appear
     in the NEWEST committed img2img gate artifact
